@@ -1,0 +1,136 @@
+"""Pairwise string-similarity measures for the scoring stage (north_star:
+"vectorized pandas/Arrow UDFs computing batched Jaro-Winkler, Levenshtein,
+and token-set-Jaccard").
+
+  * Levenshtein       — Spark built-in ``F.levenshtein`` (JVM, codegen);
+                        exposed as a normalized ratio.
+  * token-set Jaccard — native array functions (array_intersect/array_union),
+                        fully JVM-side.
+  * Jaro-Winkler      — no Spark built-in; Arrow-batched pandas UDF over the
+                        pair batch. The inner loop is pure Python but runs
+                        once per *distinct* pair per batch; at 100 TB the
+                        scoring stage is embarrassingly parallel across
+                        executors and this UDF is the only Python hot path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python Jaro-Winkler (shared with the pandas test oracle)
+# ---------------------------------------------------------------------------
+def jaro(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    match_window = max(len1, len2) // 2 - 1
+    if match_window < 0:
+        match_window = 0
+    flags1 = [False] * len1
+    flags2 = [False] * len2
+    matches = 0
+    for i, ch in enumerate(s1):
+        lo = max(0, i - match_window)
+        hi = min(len2, i + match_window + 1)
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == ch:
+                flags1[i] = True
+                flags2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    j = 0
+    for i in range(len1):
+        if flags1[i]:
+            while not flags2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                transpositions += 1
+            j += 1
+    t = transpositions / 2
+    m = matches
+    return (m / len1 + m / len2 + (m - t) / m) / 3.0
+
+
+def jaro_winkler(s1: str, s2: str, prefix_scale: float = 0.1) -> float:
+    """Jaro similarity boosted by common-prefix length (max 4), the standard
+    Winkler modification."""
+    j = jaro(s1, s2)
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a == b:
+            prefix += 1
+        else:
+            break
+    return j + prefix * prefix_scale * (1.0 - j)
+
+
+@pandas_udf(DoubleType())
+def _jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for s1, s2 in zip(a, b):
+        if s1 is None or s2 is None:
+            out.append(None)
+        else:
+            out.append(jaro_winkler(s1, s2))
+    return pd.Series(out, dtype="float64")
+
+
+def jaro_winkler_sim(a: Column | str, b: Column | str) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return _jw_udf(ca, cb)
+
+
+def levenshtein_ratio(a: Column | str, b: Column | str) -> Column:
+    """1 - lev(a,b)/max(len) — JVM-side (built-in levenshtein)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    max_len = F.greatest(F.length(ca), F.length(cb))
+    return F.when(max_len == 0, F.lit(1.0)).otherwise(
+        1.0 - F.levenshtein(ca, cb) / max_len.cast("double")
+    )
+
+
+def token_set_jaccard(a: Column | str, b: Column | str) -> Column:
+    """|A ∩ B| / |A ∪ B| over token arrays — fully native (no UDF)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    inter = F.size(F.array_intersect(ca, cb))
+    union = F.size(F.array_union(ca, cb))
+    return F.when(union == 0, F.lit(1.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+
+
+def levenshtein_ratio_py(s1: str, s2: str) -> float:
+    """Oracle mirror of levenshtein_ratio."""
+    if s1 == s2:
+        return 1.0
+    if not s1 or not s2:
+        return 0.0 if (s1 or s2) else 1.0
+    prev = list(range(len(s2) + 1))
+    for i, c1 in enumerate(s1, 1):
+        cur = [i]
+        for j, c2 in enumerate(s2, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (c1 != c2)))
+        prev = cur
+    return 1.0 - prev[-1] / max(len(s1), len(s2))
+
+
+def token_set_jaccard_py(a: list[str], b: list[str]) -> float:
+    sa, sb = set(a), set(b)
+    union = sa | sb
+    if not union:
+        return 1.0
+    return len(sa & sb) / len(union)

@@ -1,0 +1,123 @@
+"""Stage 3 — transitive closure via large-star / small-star connected
+components on a DataFrame edge list (north_star stage 3).
+
+Replaces the reference's order-dependent single sequential pass
+(`Name_Matching_opt.py:71-98,191-195` — a mutable {place_id -> uid} dict
+updated row by row) with the deterministic fixpoint it approximates
+(SURVEY.md §7.4.1). Labels are ``min(id)`` per component, consistent with the
+reference's own lexicographic-min tie-break (`Name_Matching_opt.py:92`) and
+replacing its nondeterministic uuid4 ids (`:80,92,231`).
+
+Algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14): alternate
+
+  large-star(u): for every neighbor v > u, emit (v, min(N(u) ∪ {u}))
+  small-star(u): over edges oriented high->low, emit (v, m) for
+                 v ∈ N(u) ∪ {u}, m = min(N(u) ∪ {u})
+
+until the edge set is stable — O(log n) rounds. Each round is two
+groupBy/join shuffles; lineage is truncated per round with
+``localCheckpoint`` (on a production cluster: reliable checkpoint / Iceberg
+iteration table, SURVEY.md §7.4.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set, canonical (min, max) orientation, no self-loops."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+    mins = mins.select("src", F.least("_mn", F.col("src")).alias("m"))
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    nbrs = oriented.join(mins, "src").select(F.col("dst").alias("v"), F.col("m"))
+    selfs = mins.select(F.col("src").alias("v"), F.col("m"))
+    return (
+        nbrs.unionByName(selfs)
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    id_col: str = "id",
+    component_col: str = "component",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Return (id, component) with component = min(id) of the component.
+
+    edges: (src, dst). vertices (optional): one column `id_col`; vertices
+    with no edges come back as singletons (component = own id).
+    """
+    spark = edges.sparkSession
+    cur = _canonical(edges).localCheckpoint(eager=True)
+    sig = _signature(cur)
+
+    for _ in range(max_iterations):
+        if sig[0] == 0:
+            break
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nsig = _signature(nxt)
+        cur.unpersist()
+        cur = nxt
+        if nsig == sig:
+            break
+        sig = nsig
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
+
+    # At fixpoint every edge is (node, component-min); roots map to themselves.
+    labels = cur.select(F.col("src").alias(id_col), F.col("dst").alias(component_col))
+    roots = cur.select(F.col("dst").alias(id_col)).distinct().withColumn(
+        component_col, F.col(id_col)
+    )
+    labels = labels.unionByName(roots).groupBy(id_col).agg(
+        F.min(component_col).alias(component_col)
+    )
+    if vertices is not None:
+        labels = (
+            vertices.select(F.col(id_col))
+            .distinct()
+            .join(labels, id_col, "left")
+            .withColumn(component_col, F.coalesce(F.col(component_col), F.col(id_col)))
+        )
+    return labels

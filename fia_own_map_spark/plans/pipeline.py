@@ -1,0 +1,175 @@
+"""The flagship three-stage entity-resolution pipeline (north_star).
+
+    pages --(stage0 extract+parse+classify)--> records  [checkpoint]
+    records --(stage1 block: keys+salt)-----> block_keys [checkpoint]
+    block_keys --(stage2 score)-------------> match_edges [checkpoint]
+    edges --(stage3 CC + refine)------------> clusters  [checkpoint]
+
+Run modes (EngineConfig.score_mode):
+  * "exact"      — reference parity: records match iff they share a blocking
+                   key (`Name_Matching_opt.py:78`); the scale path uses
+                   star edges (n-1 per block) instead of |B|² pairs.
+  * "similarity" — north-star extension: all within-block candidate pairs
+                   scored with JW / Levenshtein / Jaccard, thresholded.
+
+Each stage is checkpointed with per-partition lineage metrics and is
+skip-if-committed on rerun (resume semantics, north_rule).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fia_own_map_spark.config import CLASS_UNKNOWN, EngineConfig
+from fia_own_map_spark.functions.normalize import combine_addr
+from fia_own_map_spark.operators.blocking import (
+    blocking_keys,
+    candidate_pairs,
+    prepare_records,
+    salt_mega_blocks,
+    star_edges,
+)
+from fia_own_map_spark.operators.cc import connected_components
+from fia_own_map_spark.operators.classify import classify_own_type, with_initial_class
+from fia_own_map_spark.operators.extract import parse_mentions, with_extracted_text
+from fia_own_map_spark.operators.refine import cluster_size, refine_clusters_by_address
+from fia_own_map_spark.operators.scoring import match_edges, score_pairs
+from fia_own_map_spark.sources.checkpoint import CheckpointStore
+
+
+def stage0_records(pages: DataFrame, use_html: bool = True) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> typed records with mentions,
+    normalized names, blocking fingerprints, classes, comb_addr."""
+    df = pages
+    if use_html:
+        df = with_extracted_text(df, "html", "text")
+    df = parse_mentions(df, "text")
+    df = with_initial_class(df, "owner1", "owner2")
+    df = classify_own_type(df, "owner1", "owner2")
+    df = df.withColumn(
+        "comb_addr", combine_addr("addr_num", "addr_predir", "addr_street", "addr_mode")
+    )
+    return prepare_records(df, id_col="url", owner1="owner1", owner2="owner2")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: EngineConfig = EngineConfig(),
+    job_id: str = "er_job",
+    checkpoints: CheckpointStore | None = None,
+    use_html: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Run the full ER job; returns (clusters DataFrame, metrics dict).
+
+    clusters: url, cluster_id, own_type, simple_owners, comb_addr, cluster_size
+    """
+    store = checkpoints or CheckpointStore(cfg.checkpoint_root, job_id)
+    metrics: dict = {"job_id": job_id, "score_mode": cfg.score_mode, "stages": {}}
+
+    # ---- stage 0: extract + parse + classify -------------------------------
+    t0 = time.time()
+    if store.exists("records"):
+        records = store.read(spark, "records")
+        metrics["stages"]["records"] = store.read_metrics("records")
+    else:
+        records = stage0_records(pages, use_html=use_html)
+        m = store.write(
+            "records",
+            records.select(
+                "url", "warc_ts", "lang", "owner1", "owner2", "simple_owners",
+                "tokens", "name_keys", "comb_addr", "initial_class", "own_type",
+                "rule_matched",
+            ),
+        )
+        records = store.read(spark, "records")
+        metrics["stages"]["records"] = m
+
+    # matchable = classified rows; unknowns become singletons
+    # (`Name_Matching_opt.py:230-232`). Matching runs inside class buckets,
+    # with family (45, ic!=3) and juniors (45, ic==3) as separate buckets
+    # (`Name_Matching_opt.py:167-171`).
+    matchable = records.filter(F.col("own_type") != CLASS_UNKNOWN).withColumn(
+        "match_bucket",
+        F.when(
+            (F.col("own_type") == 45) & (F.col("initial_class") == 3),
+            F.concat(F.col("own_type").cast("string"), F.lit("J")),
+        ).otherwise(F.col("own_type").cast("string")),
+    )
+
+    # ---- stage 1: blocking keys + explicit skew handling -------------------
+    if store.exists("block_keys"):
+        keys = store.read(spark, "block_keys")
+        metrics["stages"]["block_keys"] = store.read_metrics("block_keys")
+    else:
+        raw_keys = blocking_keys(matchable, id_col="url", class_col="match_bucket")
+        if cfg.salt_mega_blocks:
+            salted, mega = salt_mega_blocks(raw_keys, "url", cfg)
+            mega_rows = mega.collect()
+            extra = {
+                "mega_blocks": len(mega_rows),
+                "largest_block": max((r["block_size"] for r in mega_rows), default=0),
+            }
+        else:
+            salted, extra = raw_keys, {"mega_blocks": 0}
+        m = store.write("block_keys", salted, extra_metrics=extra)
+        keys = store.read(spark, "block_keys")
+        metrics["stages"]["block_keys"] = m
+
+    # ---- stage 2: candidate pairs + scoring -> match edges -----------------
+    if store.exists("edges"):
+        edges = store.read(spark, "edges")
+        metrics["stages"]["edges"] = store.read_metrics("edges")
+    else:
+        if cfg.score_mode == "exact":
+            edges_df = star_edges(keys, "url")
+            extra = {"pairs_scored": None, "note": "exact-key parity mode: star edges"}
+        else:
+            pairs = candidate_pairs(keys, "url", cfg)
+            scored = score_pairs(pairs, matchable, "url")
+            edges_df = match_edges(scored, cfg)
+            extra = {"pairs_scored": scored.count()}
+        m = store.write("edges", edges_df, extra_metrics=extra)
+        edges = store.read(spark, "edges")
+        metrics["stages"]["edges"] = m
+
+    # ---- stage 3: connected components + refinement ------------------------
+    if store.exists("clusters"):
+        clusters = store.read(spark, "clusters")
+        metrics["stages"]["clusters"] = store.read_metrics("clusters")
+    else:
+        vertices = matchable.select(F.col("url").alias("id"))
+        labels = connected_components(
+            edges, vertices=vertices, id_col="id", component_col="cluster_id",
+            max_iterations=cfg.cc_max_iterations,
+        )
+        clustered = matchable.join(
+            labels.withColumnRenamed("id", "url"), "url", "left"
+        ).withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("url")))
+        # address refinement for family/juniors (W4)
+        clustered = refine_clusters_by_address(clustered)
+        # unknowns: singleton clusters (`Name_Matching_opt.py:230-232`,
+        # uuid4 replaced by the deterministic own-url label)
+        unknowns = records.filter(F.col("own_type") == CLASS_UNKNOWN).withColumn(
+            "cluster_id", F.col("url")
+        )
+        final = clustered.select(
+            "url", "cluster_id", "own_type", "simple_owners", "comb_addr"
+        ).unionByName(
+            unknowns.select("url", "cluster_id", "own_type", "simple_owners", "comb_addr")
+        )
+        final = cluster_size(final)
+        m = store.write("clusters", final)
+        clusters = store.read(spark, "clusters")
+        metrics["stages"]["clusters"] = m
+
+    metrics["wall_s"] = round(time.time() - t0, 3)
+    # row-count preservation guard (`Classify_Unknowns_opt.py:674-690` analogue)
+    n_in, n_out = records.count(), clusters.count()
+    metrics["rows_in"], metrics["rows_out"] = n_in, n_out
+    if n_in != n_out:
+        raise RuntimeError(f"row-count invariant violated: in={n_in} out={n_out}")
+    return clusters, metrics

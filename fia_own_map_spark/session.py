@@ -1,0 +1,66 @@
+"""SparkSession builders tuned for this engine.
+
+Defaults target the sandbox (single JVM, ``local[N]``) but every knob is the
+one you would set on a real 1000-executor cluster: AQE on (skew-join + coalesce
+partitions), Arrow on for pandas UDFs, shuffle partitions sized to cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "fia_own_map_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with engine defaults.
+
+    master defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    shuffle_partitions defaults to 2x the local core count — on a real
+    cluster you would set this to ~2-3x total executor cores and let AQE
+    coalesce down.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[k] — derive k for sane shuffle sizing
+        k = cpus
+        if master.startswith("local["):
+            inner = master[len("local[") : -1]
+            k = cpus if inner == "*" else int(inner)
+        shuffle_partitions = max(2 * k, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime re-planning, skew-join splitting, partition coalescing.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for pandas UDFs / toPandas — the only Python hot path allowed.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Broadcast threshold: dimension tables (keyword maps, block stats)
+        # should broadcast; 64MB is a deliberate bump from the 10MB default.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_session() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
