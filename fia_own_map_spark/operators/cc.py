@@ -71,7 +71,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def _signature(edges: DataFrame) -> tuple[int, int]:
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
     ).collect()[0]
     return int(row["n"]), int(row["h"])
 
