@@ -1,38 +1,658 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: the three-stage ER pipeline (blocking -> exact-key
+                scoring -> large-star/small-star CC) over the sf0.001
+                documents table.
+queries()     — one entry per implemented operator family (SURVEY.md §2 +
+                training-data ops); each callable is (spark, sf_dir) -> DataFrame.
+oracle_sql()  — DuckDB-equivalent SQL for every SQL-expressible query; ops
+                that are inherently non-SQL (metaphone keys, iterative CC,
+                simhash/winnowing UDFs, LSH-ANN) are rows-only by design.
+
+Column names and rounding are aligned between both sides (driver hashes
+values after sorting columns by name).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fia_own_map_spark.config import EngineConfig
+from fia_own_map_spark.functions.combos import exploded_metaphone_keys, normalized_name_keys
+from fia_own_map_spark.functions.similarity import (
+    jaro_winkler_sim,
+    levenshtein_ratio,
+    token_set_jaccard,
+)
+from fia_own_map_spark.operators import ann, dedup, text
+from fia_own_map_spark.operators.blocking import star_edges
+from fia_own_map_spark.operators.cc import connected_components
+from fia_own_map_spark.operators.classify import initial_class
+from fia_own_map_spark.operators.refine import cluster_size
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _norm_text(col):
+    """ASCII normalization chain (regex part of `normalize_unicode_to_ascii`,
+    Classify_Unknowns_opt.py:159-163) — JVM-side; NFKD is identity on the
+    ASCII-only documents fixture so oracle parity holds."""
+    out = F.upper(col)
+    out = F.regexp_replace(out, r"[^A-Za-z0-9 ]+", " ")
+    out = F.regexp_replace(out, r" +", " ")
+    return F.trim(out)
+
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(upper({c}), '[^A-Za-z0-9 ]+', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def _doc_name(k: int = 4):
+    """Deterministic per-doc 'owner name': first k normalized tokens."""
+    toks = F.split(_norm_text(F.col("text")), " ")
+    return F.array_join(F.slice(toks, 1, k), " ")
+
+
+_DOC_NAME_SQL = (
+    "array_to_string((string_split(" + _NORM_SQL.format(c="text") + ", ' '))[1:{k}], ' ')"
+)
+
+
+# ---------------------------------------------------------------------------
+# ER core queries
+# ---------------------------------------------------------------------------
+def q_er_normalize_ascii(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", _norm_text(F.col("text")).alias("norm_text")
+    )
+
+
+def q_er_token_fingerprint(spark, sf):
+    toks = F.split(_norm_text(F.col("text")), " ")
+    fp = F.array_join(F.array_sort(F.slice(toks, 1, 3)), "")
+    return _t(spark, sf, "documents").select("doc_id", fp.alias("fingerprint"))
+
+
+def q_er_blocking_keys(spark, sf):
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.split(_doc_name(4), " ").alias("tokens"),
+    )
+    docs = docs.withColumn("name_keys", normalized_name_keys("tokens"))
+    return exploded_metaphone_keys(docs, id_col="url").orderBy("url", "block_key")
+
+
+def q_er_cluster_documents(spark, sf):
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.split(_doc_name(4), " ").alias("tokens"),
+    )
+    docs = docs.withColumn("name_keys", normalized_name_keys("tokens"))
+    keys = exploded_metaphone_keys(docs, id_col="url")
+    edges = star_edges(keys, "url")
+    labels = connected_components(
+        edges, vertices=docs.select(F.col("url").alias("id")), id_col="id",
+        component_col="cluster_id",
+    )
+    out = labels.withColumnRenamed("id", "url")
+    return cluster_size(out, "cluster_id").orderBy("url")
+
+
+def q_er_score_pairs(spark, sf):
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", _doc_name(6).alias("name")
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("name").alias("name_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"),
+                    F.col("name").alias("name_b"))
+    pairs = a.join(b, "id_a")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(jaro_winkler_sim("name_a", "name_b"), 6).alias("jw"),
+        F.round(levenshtein_ratio("name_a", "name_b"), 6).alias("lev_ratio"),
+        F.round(
+            token_set_jaccard(F.split("name_a", " "), F.split("name_b", " ")), 6
+        ).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup queries
+# ---------------------------------------------------------------------------
+def q_dedup_exact_groups(spark, sf):
+    return dedup.exact_dup_groups(_t(spark, sf, "documents"))
+
+
+def q_dedup_exact_keep(spark, sf):
+    return dedup.exact_dedup(_t(spark, sf, "documents")).select("doc_id", "text")
+
+
+def q_dedup_minhash_pairs(spark, sf):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), n_hashes=8, n_bands=4, shingle_k=1,
+        jaccard_threshold=0.9,
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_simhash_pairs(spark, sf):
+    return dedup.simhash_dup_pairs(_t(spark, sf, "documents"), max_hamming=8)
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), block_col="source", n=2, threshold=0.35
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# text-analysis queries
+# ---------------------------------------------------------------------------
+def q_text_lang_id(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", text.lang_id("text").alias("lang_pred")
+    )
+
+
+def q_text_quality(spark, sf):
+    return text.quality_features(_t(spark, sf, "documents")).select(
+        "doc_id", "n_tokens", "n_punct", "stopword_ratio", "punct_ratio",
+        "mean_token_len", "quality_score",
+    )
+
+
+def q_text_token_counts(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count_ws("text").alias("n_ws_tokens"),
+        text.token_count_bpe_ish("text").alias("n_bpe_tokens"),
+    )
+
+
+def q_text_fingerprint(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", text.doc_fingerprint("text").alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN queries
+# ---------------------------------------------------------------------------
+def q_ann_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ann.cosine_topk(emb, queries, k=10)
+
+
+def q_ann_lsh_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ann.lsh_cosine_topk(emb, queries, k=10, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# relational operator parity (SURVEY.md §2) on the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+def q_tpch_q1_pricing(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_join_customer_nation_revenue(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_region_nation_lut(spark, sf):
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+        .orderBy("r_name")
+    )
+
+
+def q_window_orders_per_customer(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey", "o_custkey", F.count(F.lit(1)).over(w).alias("total_orders")
+    )
+
+
+def q_priority_dedupe_orders(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_pivot_order_status(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_anti_join_customers_no_orders(spark, sf):
+    """Customers with no high-value order (anti-join, SURVEY.md §2.3 J8)."""
+    c = _t(spark, sf, "customer")
+    big = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select("c_custkey")
+
+
+def q_semi_join_segment_counts(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_stratified_sample_orders(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("o_orderpriority", "o_orderkey")
+    )
+
+
+def q_set_ops_customers(spark, sf):
+    c = _t(spark, sf, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    return a.unionByName(b).distinct().exceptAll(rich.distinct()).orderBy("c_custkey")
+
+
+def q_case_recode_events(spark, sf):
+    e = _t(spark, sf, "events")
+    recoded = (
+        F.when(F.col("event_type").isin("click", "view"), F.lit("engagement"))
+        .when(F.col("event_type") == "purchase", F.lit("conversion"))
+        .otherwise(F.lit("other"))
+    )
+    return (
+        e.groupBy(recoded.alias("event_class"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy("event_class")
+    )
+
+
+def q_events_hourly(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("hour_start", "event_type")
+    )
+
+
+def q_initial_class_parts(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey", initial_class(F.upper(F.col("p_name")), F.lit(None).cast("string")).alias("ic")
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: ER clustering of the sf0.001 documents table."""
+    return q_er_cluster_documents(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # ER core
+        "er_normalize_ascii": q_er_normalize_ascii,
+        "er_token_fingerprint": q_er_token_fingerprint,
+        "er_blocking_keys": q_er_blocking_keys,          # rows-only (metaphone UDF)
+        "er_cluster_documents": q_er_cluster_documents,  # rows-only (iterative CC)
+        "er_score_pairs": q_er_score_pairs,
+        # dedup family
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_exact_keep": q_dedup_exact_keep,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,    # rows-only (FNV simhash UDF)
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # text analysis
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_token_counts": q_text_token_counts,
+        "text_fingerprint": q_text_fingerprint,          # rows-only (winnowing UDF)
+        # ANN
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,                  # rows-only (approx by design)
+        # relational operator parity
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "join_customer_nation_revenue": q_join_customer_nation_revenue,
+        "region_nation_lut": q_region_nation_lut,
+        "window_orders_per_customer": q_window_orders_per_customer,
+        "priority_dedupe_orders": q_priority_dedupe_orders,
+        "pivot_order_status": q_pivot_order_status,
+        "anti_join_customers_no_orders": q_anti_join_customers_no_orders,
+        "semi_join_segment_counts": q_semi_join_segment_counts,
+        "stratified_sample_orders": q_stratified_sample_orders,
+        "set_ops_customers": q_set_ops_customers,
+        "case_recode_events": q_case_recode_events,
+        "events_hourly": q_events_hourly,
+        "initial_class_parts": q_initial_class_parts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    norm = _NORM_SQL.format(c="text")
+    name6 = _DOC_NAME_SQL.format(k=6)
+    corp_pat, junior_pat = _initial_class_patterns()
+    return {
+        "er_normalize_ascii": f"SELECT doc_id, {norm} AS norm_text FROM documents",
+        "er_token_fingerprint": (
+            f"SELECT doc_id, array_to_string(list_sort((string_split({norm},' '))[1:3]), '')"
+            " AS fingerprint FROM documents"
+        ),
+        "er_score_pairs": f"""
+            WITH named AS (SELECT doc_id, {name6} AS name FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(jaro_winkler_similarity(a.name, b.name), 6) AS jw,
+                   round(CASE WHEN greatest(length(a.name), length(b.name)) = 0 THEN 1.0
+                         ELSE 1.0 - levenshtein(a.name, b.name)::double
+                              / greatest(length(a.name), length(b.name)) END, 6) AS lev_ratio,
+                   round(CASE WHEN len(list_distinct(list_concat(string_split(a.name,' '),
+                                                                 string_split(b.name,' ')))) = 0
+                         THEN 1.0
+                         ELSE len(list_intersect(string_split(a.name,' '), string_split(b.name,' ')))::double
+                              / len(list_distinct(list_concat(string_split(a.name,' '),
+                                                              string_split(b.name,' ')))) END, 6) AS jaccard
+            FROM named a JOIN named b ON b.doc_id = a.doc_id + 1
+        """,
+        "dedup_exact_groups": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+                   min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+                       AS canonical_id
+            FROM documents
+        """,
+        "dedup_exact_keep": """
+            SELECT doc_id, text FROM (
+              SELECT doc_id, text,
+                     min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+                         AS canon
+              FROM documents) WHERE doc_id = canon
+        """,
+        "dedup_minhash_pairs": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS sh
+              FROM documents),
+            s AS (
+              SELECT doc_id, sh,
+                     [list_min(list_transform(sh, g -> md5(g || '#' || i::varchar))) FOR i IN range(0, 8)] AS sig
+              FROM t),
+            banded AS (
+              SELECT doc_id, sh,
+                     'b' || b::varchar || ':' || md5(array_to_string(sig[b*2+1:b*2+2], ',')) AS band
+              FROM s, unnest(range(0, 4)) AS u(b)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+              FROM banded a JOIN banded b USING (band)
+              WHERE a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   round(CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) = 0 THEN 1.0
+                         ELSE len(list_intersect(sh_a, sh_b))::double
+                              / len(list_distinct(list_concat(sh_a, sh_b))) END, 6) AS jaccard
+            FROM cand
+            WHERE (CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) = 0 THEN 1.0
+                   ELSE len(list_intersect(sh_a, sh_b))::double
+                        / len(list_distinct(list_concat(sh_a, sh_b))) END) >= 0.9
+        """,
+        "dedup_ngram_jaccard": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     list_distinct([array_to_string(toks[i:i+1], ' ')
+                                    FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)]) AS grams
+              FROM (SELECT doc_id, source,
+                           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+                    FROM documents))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.grams, b.grams))::double
+                         / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+            FROM t a JOIN t b USING (source)
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.grams, b.grams))::double
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.35
+        """,
+        "text_lang_id": _lang_id_sql(),
+        "text_quality": _quality_sql(),
+        "text_token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(CASE WHEN sqrt(list_dot_product(e.embedding, e.embedding))
+                                     * sqrt(list_dot_product(q.qvec, q.qvec)) = 0 THEN 0.0
+                           ELSE list_dot_product(e.embedding, q.qvec)
+                                / (sqrt(list_dot_product(e.embedding, e.embedding))
+                                   * sqrt(list_dot_product(q.qvec, q.qvec))) END, 6) AS score
+              FROM embeddings e CROSS JOIN q)
+            SELECT query_id, vec_id, score,
+                   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+            FROM scored
+            QUALIFY rank <= 10
+        """,
+        "tpch_q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "join_customer_nation_revenue": """
+            SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "region_nation_lut": """
+            SELECT r_name, count(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "window_orders_per_customer": """
+            SELECT o_orderkey, o_custkey,
+                   count(*) OVER (PARTITION BY o_custkey) AS total_orders
+            FROM orders
+        """,
+        "priority_dedupe_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn = 1
+        """,
+        "pivot_order_status": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "anti_join_customers_no_orders": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        """,
+        "semi_join_segment_counts": """
+            SELECT c_mktsegment, count(*) AS n_customers FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "stratified_sample_orders": """
+            SELECT o_orderpriority, o_orderkey FROM (
+              SELECT o_orderpriority, o_orderkey,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY md5(o_orderkey::varchar), o_orderkey) AS rn
+              FROM orders) WHERE rn <= 3
+        """,
+        "set_ops_customers": """
+            (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             UNION
+             SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+            EXCEPT
+            SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 9000
+            ORDER BY c_custkey
+        """,
+        "case_recode_events": """
+            SELECT CASE WHEN event_type IN ('click', 'view') THEN 'engagement'
+                        WHEN event_type = 'purchase' THEN 'conversion'
+                        ELSE 'other' END AS event_class,
+                   count(*) AS n_events, round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+                   event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "initial_class_parts": f"""
+            SELECT p_partkey,
+                   CASE WHEN regexp_matches(upper(p_name), '{corp_pat}') THEN 0
+                        WHEN regexp_matches(upper(p_name), '{junior_pat}') THEN 3
+                        WHEN len(string_split_regex(trim(upper(p_name)), '\\s+')) > 1 THEN 1
+                        WHEN len(string_split_regex(trim(upper(p_name)), '\\s+')) = 1 THEN 0
+                        ELSE 10 END AS ic
+            FROM part
+        """,
+    }
+
+
+def _initial_class_patterns() -> tuple[str, str]:
+    """Shared regex constants for the initial-class ladder oracle (escaped
+    for SQL single-quoted literals; RE2 accepts (?i) and \\b like Java)."""
+    from fia_own_map_spark.config import CORPORATE_INDICATOR_KEYWORDS, JUNIOR_KEYWORDS
+
+    def pat(words):
+        joined = "|".join(v.strip() for v in words)
+        return (r"(?i)\b(?:" + joined + r")\b").replace("'", "''")
+
+    return pat(CORPORATE_INDICATOR_KEYWORDS), pat(JUNIOR_KEYWORDS)
+
+
+def _lang_id_sql() -> str:
+    from fia_own_map_spark.operators.text import LANG_PROFILES
+
+    scores = {
+        lang: (
+            "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+            f" t -> list_contains({words!r}, t)))"
+        ).replace('"', "'")
+        for lang, words in LANG_PROFILES.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    cases = " ".join(
+        f"WHEN {scores[lang]} = best AND best > 0 THEN '{lang}'" for lang in sorted(scores)
+    )
+    return f"""
+        SELECT doc_id, CASE {cases} ELSE 'und' END AS lang_pred
+        FROM (SELECT doc_id, text, {best} AS best FROM documents)
     """
-    return {}
+
+
+def _quality_sql() -> str:
+    from fia_own_map_spark.operators.text import LANG_PROFILES
+
+    en = repr(LANG_PROFILES["en"]).replace('"', "'")
+    return f"""
+        WITH f AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                 len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                 len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 t -> list_contains({en}, t))) AS stop_hits
+          FROM documents)
+        SELECT doc_id, n_tokens, n_punct,
+               round(CASE WHEN n_tokens > 0 THEN stop_hits::double / n_tokens ELSE 0.0 END, 6)
+                   AS stopword_ratio,
+               round(CASE WHEN n_chars > 0 THEN n_punct::double / n_chars ELSE 0.0 END, 6)
+                   AS punct_ratio,
+               round(CASE WHEN n_tokens > 0
+                     THEN (n_chars - (n_tokens - 1))::double / n_tokens ELSE 0.0 END, 6)
+                   AS mean_token_len,
+               round(least(1.0, n_tokens / 50.0) * 0.4
+                     + least(1.0, (CASE WHEN n_tokens > 0 THEN stop_hits::double / n_tokens
+                                        ELSE 0.0 END) * 5) * 0.3
+                     + (1.0 - least(1.0, (CASE WHEN n_chars > 0 THEN n_punct::double / n_chars
+                                               ELSE 0.0 END) * 4)) * 0.3, 6) AS quality_score
+        FROM f
+    """

@@ -26,11 +26,12 @@ from pyspark.sql.types import DoubleType
 # Pure-Python Jaro-Winkler (shared with the pandas test oracle)
 # ---------------------------------------------------------------------------
 def jaro(s1: str, s2: str) -> float:
-    if s1 == s2:
-        return 1.0
     len1, len2 = len(s1), len(s2)
+    # empty-before-equality: jaro('','') == 0.0 (strcmp95/DuckDB convention)
     if len1 == 0 or len2 == 0:
         return 0.0
+    if s1 == s2:
+        return 1.0
     match_window = max(len1, len2) // 2 - 1
     if match_window < 0:
         match_window = 0
@@ -57,15 +58,22 @@ def jaro(s1: str, s2: str) -> float:
             if s1[i] != s2[j]:
                 transpositions += 1
             j += 1
-    t = transpositions / 2
+    # strcmp95 / DuckDB convention: transpositions are integer-halved
+    t = transpositions // 2
     m = matches
     return (m / len1 + m / len2 + (m - t) / m) / 3.0
 
 
-def jaro_winkler(s1: str, s2: str, prefix_scale: float = 0.1) -> float:
-    """Jaro similarity boosted by common-prefix length (max 4), the standard
-    Winkler modification."""
+def jaro_winkler(
+    s1: str, s2: str, prefix_scale: float = 0.1, boost_threshold: float = 0.7
+) -> float:
+    """Jaro similarity boosted by common-prefix length (max 4) when Jaro
+    exceeds the boost threshold — the canonical Winkler (strcmp95)
+    definition, verified bit-for-bit against DuckDB's
+    jaro_winkler_similarity by fuzzing (tools/verify_contract.py)."""
     j = jaro(s1, s2)
+    if j <= boost_threshold:
+        return j
     prefix = 0
     for a, b in zip(s1[:4], s2[:4]):
         if a == b:

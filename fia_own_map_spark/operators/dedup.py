@@ -1,0 +1,230 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each a first-class engine op over a documents table:
+
+  * exact            — hash-groupBy on normalized text, keep min(id)
+  * MinHash + LSH    — shingle -> minhash signature -> banded bucket join.
+    Hash family is ``md5(shingle || '#' || seed)`` so a SQL oracle (DuckDB)
+    can reproduce signatures bit-for-bit; min over hex strings is
+    lexicographic in both engines.
+  * SimHash          — 64-bit sign-sum of token hashes (Arrow-batched pandas
+    UDF), candidate pairs via prefix buckets + Hamming threshold
+  * n-gram Jaccard   — exact token/char-shingle Jaccard verification within
+    candidate blocks (native array functions)
+
+Scale notes: every family avoids the |corpus|² comparison — exact dedup is
+one shuffle on the content hash; MinHash/SimHash pairs are generated only
+inside LSH/prefix buckets (bounded, salted the same way as ER mega-blocks if
+a bucket explodes); verification joins are equi-joins AQE can skew-split.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Whitespace/case-normalized view of the text for content hashing."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, content_hash, canonical_id): canonical = min(id) per hash."""
+    h = F.md5(normalized_text(text_col)).alias("content_hash")
+    with_hash = df.select(F.col(id_col), h)
+    w = Window.partitionBy("content_hash")
+    return with_hash.withColumn("canonical_id", F.min(id_col).over(w))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct normalized content (min id wins)."""
+    groups = exact_dup_groups(df, id_col, text_col)
+    keep = groups.filter(F.col(id_col) == F.col("canonical_id")).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def word_shingles(text_col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles of the normalized text (native HOFs)."""
+    toks = F.split(normalized_text(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    return F.when(n >= k, F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
+    """array<string> of n minhash values: min(md5(shingle || '#' || seed)).
+
+    md5-based so DuckDB can reproduce it exactly; at production scale swap
+    for xxhash64 (cheaper) behind the same API.
+    """
+    sigs = [
+        F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f"#{seed}")))))
+        for seed in range(n_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_bands(sig_col: Column | str, n_bands: int, rows_per_band: int) -> Column:
+    """array<string> of band keys: band index + md5 of the band slice."""
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"b{b}:"),
+                F.md5(F.array_join(F.slice(sig, b * rows_per_band + 1, rows_per_band), ",")),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH, verified with
+    exact shingle-set Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b."""
+    rows_per_band = n_hashes // n_bands
+    prepared = df.select(
+        F.col(id_col),
+        word_shingles(text_col, shingle_k).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
+    banded = prepared.select(
+        id_col, "shingles", F.explode(lsh_bands("sig", n_bands, rows_per_band)).alias("band")
+    )
+    left = banded.select(
+        F.col("band"), F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    right = banded.select(
+        F.col("band"), F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    cand = (
+        left.join(right, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union.cast("double"))
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def _simhash64(tokens: list[str]) -> int:
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = np.int64(np.uint64(hash64(t)))
+        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(np.int64(out))
+
+
+def hash64(s: str) -> int:
+    """Deterministic 64-bit FNV-1a (stable across processes, unlike hash())."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+@pandas_udf(LongType())
+def _simhash_udf(texts: pd.Series) -> pd.Series:
+    out = []
+    for t in texts:
+        if t is None:
+            out.append(None)
+        else:
+            out.append(_simhash64(t.lower().split()))
+    return pd.Series(out, dtype="Int64")
+
+
+def simhash(col: Column | str) -> Column:
+    return _simhash_udf(F.col(col) if isinstance(col, str) else col)
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, candidates bucketed
+    by the top prefix_bits (rotated probes would widen recall; one prefix
+    bucket keeps the demo simple and the join bounded)."""
+    sh = df.select(F.col(id_col), simhash(text_col).alias("sh"))
+    shift = 64 - prefix_bits
+    bucketed = sh.withColumn("bucket", F.shiftrightunsigned("sh", shift))
+    a = bucketed.select("bucket", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = bucketed.select("bucket", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    ham = F.bit_count(F.expr("sh_a ^ sh_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, within a blocking column)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard over pairs within block_col (or global —
+    only for small/test corpora; the LSH path is the scale route)."""
+    grams = word_shingles(text_col, n).alias("grams")
+    base = df.select(
+        F.col(id_col),
+        *( [F.col(block_col)] if block_col else [F.lit(0).alias("_blk")] ),
+        grams,
+    )
+    blk = block_col if block_col else "_blk"
+    left = base.select(F.col(blk), F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
+    right = base.select(F.col(blk), F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union.cast("double"))
+    return (
+        left.join(right, blk)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

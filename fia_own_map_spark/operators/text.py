@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All of these stay JVM-side (regexp/array functions) except the winnowing
+fingerprint, which is an Arrow-batched pandas UDF (rolling hash needs a
+sequential pass per document — embarrassingly parallel across rows).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from fia_own_map_spark.operators.dedup import hash64
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "du"],
+}
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def lang_scores(text_col: Column | str) -> dict[str, Column]:
+    """Per-language stopword hit counts (token-level, duplicates counted)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = _tokens(c)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(words)))
+        for lang, words in LANG_PROFILES.items()
+    }
+
+
+def lang_id(text_col: Column | str, default: str = "und") -> Column:
+    """argmax language by stopword hits; deterministic tie-break by language
+    code order; 'und' when nothing matches."""
+    scores = lang_scores(text_col)
+    best = F.greatest(*scores.values())
+    expr = F.lit(default)
+    for lang in sorted(scores, reverse=True):  # earlier alphabetical wins ties
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def token_count_ws(text_col: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe_ish(text_col: Column | str) -> Column:
+    """BPE-ish token count: alpha runs, digit runs, and single punctuation
+    marks each count as one token (a cheap proxy for subword tokenizers)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / token-shape features + a composite
+    quality score in [0,1]."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count_ws(text_col)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    en_stop = F.size(F.filter(_tokens(c), lambda t: t.isin(LANG_PROFILES["en"])))
+    mean_tok_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars.cast("double")).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, en_stop / n_tokens.cast("double")).otherwise(F.lit(0.0))
+    score = F.round(
+        F.least(F.lit(1.0), n_tokens / F.lit(50.0)) * 0.4
+        + F.least(F.lit(1.0), stop_ratio * 5) * 0.3
+        + (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 4)) * 0.3,
+        6,
+    )
+    return (
+        df.withColumn("n_chars_computed", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("n_punct", n_punct)
+        .withColumn("stopword_hits", en_stop)
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("mean_token_len", F.round(mean_tok_len, 6))
+        .withColumn("quality_score", score)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint (rolling hash) — pandas UDF
+# ---------------------------------------------------------------------------
+def winnow_py(text: str, k: int = 5, window: int = 4) -> list[int]:
+    """Winnowing (Schleimer et al. 2003): min hash per sliding window over
+    k-gram rolling hashes; deduped, order-preserving."""
+    toks = text.lower().split()
+    if len(toks) < k:
+        return [hash64(" ".join(toks))] if toks else []
+    grams = [hash64(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)]
+    if len(grams) <= window:
+        return [min(grams)]
+    out: list[int] = []
+    last = None
+    for i in range(len(grams) - window + 1):
+        m = min(grams[i : i + window])
+        if m != last:
+            out.append(m)
+            last = m
+    return out
+
+
+@pandas_udf(ArrayType(LongType()))
+def _winnow_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(
+        lambda t: None if t is None else [v - (1 << 63) for v in winnow_py(t)]
+    )
+
+
+def doc_fingerprint(text_col: Column | str) -> Column:
+    """array<long> winnowing fingerprint (signed-shifted to fit LongType)."""
+    return _winnow_udf(F.col(text_col) if isinstance(text_col, str) else text_col)
