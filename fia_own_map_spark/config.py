@@ -92,7 +92,7 @@ TRUST_KEYWORDS: list[str] = [
 CORP_KEYWORDS: list[str] = [
     "LLC", "INC", "CORP", "LTD", "COMPANY", "HOLDINGS", "PROPERTIES",
     "INVESTMENTS", "ENTERPRISES", "PARTNERS", "TIMBER", "LUMBER",
-    "REALTY", "DEVELOPMENT", "RESOURCES", "LAND CO",
+    "REALTY", "DEVELOPMENT", "LAND CO",
 ]
 GOVERNMENT_KEYWORDS: list[str] = [
     r"\bUNITED STATES\b", r"\bGOVERNMENT\b", r"\bPUBLIC\b",
