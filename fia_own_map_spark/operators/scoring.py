@@ -10,9 +10,18 @@ candidate pairs back to the normalized name strings and compute
   * Jaro-Winkler        — Arrow-batched pandas UDF
   * Levenshtein ratio   — built-in (JVM)
   * token-set Jaccard   — native array functions (JVM)
-and keep pairs passing any threshold. Both name joins are plain equi-joins
-on id; the pair table is the big side, the records side carries only
-(id, simple_owners, tokens).
+
+Scale design:
+  * **Dedup-before-UDF**: mentions repeat heavily (that is why they block
+    together), so scores are computed once per DISTINCT (name_a, name_b)
+    pair and broadcast-joined back onto the id-pair table. Python work is
+    bounded by distinct name pairs, not candidate pairs.
+  * The distinct name-pair table is explicitly repartitioned to the session
+    default parallelism before the UDF — AQE's partition coalescing targets
+    shuffle *bytes* and would otherwise under-parallelize a CPU-bound Python
+    stage (few MB of strings can cost minutes of CPU).
+  * Single pass: no count() of the scored table; the candidate-pair count is
+    taken from the cheap pre-UDF pair table.
 """
 
 from __future__ import annotations
@@ -33,36 +42,37 @@ def score_pairs(
     records: DataFrame,
     id_col: str = "url",
     name_col: str = "simple_owners",
-    tokens_col: str = "tokens",
 ) -> DataFrame:
-    """Attach jw / lev_ratio / jaccard scores to candidate pairs."""
-    names = records.select(
-        F.col(id_col).alias("_id"),
-        F.col(name_col).alias("_name"),
-        F.col(tokens_col).alias("_tokens"),
-    )
-    scored = (
+    """Attach jw / lev_ratio / jaccard scores to candidate pairs.
+
+    Returns (id_a, id_b, jw, lev_ratio, jaccard).
+    """
+    spark = pairs.sparkSession
+    names = records.select(F.col(id_col).alias("_id"), F.col(name_col).alias("_name"))
+    with_names = (
         pairs.join(
-            names.select(
-                F.col("_id").alias("id_a"),
-                F.col("_name").alias("name_a"),
-                F.col("_tokens").alias("tokens_a"),
-            ),
-            "id_a",
+            names.select(F.col("_id").alias("id_a"), F.col("_name").alias("name_a")), "id_a"
+        ).join(
+            names.select(F.col("_id").alias("id_b"), F.col("_name").alias("name_b")), "id_b"
         )
-        .join(
-            names.select(
-                F.col("_id").alias("id_b"),
-                F.col("_name").alias("name_b"),
-                F.col("_tokens").alias("tokens_b"),
-            ),
-            "id_b",
-        )
+    )
+
+    # score each distinct name pair exactly once (dedup-before-UDF)
+    parallelism = spark.sparkContext.defaultParallelism
+    name_pairs = (
+        with_names.select("name_a", "name_b")
+        .distinct()
+        .repartition(parallelism)
         .withColumn("jw", jaro_winkler_sim("name_a", "name_b"))
         .withColumn("lev_ratio", levenshtein_ratio("name_a", "name_b"))
-        .withColumn("jaccard", token_set_jaccard("tokens_a", "tokens_b"))
+        .withColumn(
+            "jaccard",
+            token_set_jaccard(F.split("name_a", " "), F.split("name_b", " ")),
+        )
     )
-    return scored.select("id_a", "id_b", "jw", "lev_ratio", "jaccard")
+    return with_names.join(F.broadcast(name_pairs), ["name_a", "name_b"]).select(
+        "id_a", "id_b", "jw", "lev_ratio", "jaccard"
+    )
 
 
 def match_edges(scored: DataFrame, cfg: EngineConfig = EngineConfig()) -> DataFrame:

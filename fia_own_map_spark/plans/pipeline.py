@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fia_own_map_spark.config import CLASS_UNKNOWN, EngineConfig
@@ -100,14 +100,27 @@ def run_pipeline(
         ).otherwise(F.col("own_type").cast("string")),
     )
 
+    # ---- node table: distinct (bucket, name) --------------------------------
+    # Mentions repeat heavily (that is what makes blocking work), so the
+    # entire block/score/cluster graph runs over DISTINCT name nodes and
+    # record ids re-attach at the end. At web scale this shrinks every
+    # shuffle by the mention-repetition factor; the emitted partition is
+    # provably identical (records with equal (bucket, name) share all keys
+    # and therefore always co-cluster). Records whose name normalizes to ''
+    # have no keys and stay singletons (excluded from the node graph).
+    named = matchable.filter(F.length("simple_owners") > 0).withColumn(
+        "node_id", F.concat_ws("|", "match_bucket", "simple_owners")
+    )
+    nodes = named.select("node_id", "match_bucket", "simple_owners", "name_keys").distinct()
+
     # ---- stage 1: blocking keys + explicit skew handling -------------------
     if store.exists("block_keys"):
         keys = store.read(spark, "block_keys")
         metrics["stages"]["block_keys"] = store.read_metrics("block_keys")
     else:
-        raw_keys = blocking_keys(matchable, id_col="url", class_col="match_bucket")
+        raw_keys = blocking_keys(nodes, id_col="node_id", class_col="match_bucket")
         if cfg.salt_mega_blocks:
-            salted, mega = salt_mega_blocks(raw_keys, "url", cfg)
+            salted, mega = salt_mega_blocks(raw_keys, "node_id", cfg)
             mega_rows = mega.collect()
             extra = {
                 "mega_blocks": len(mega_rows),
@@ -119,20 +132,27 @@ def run_pipeline(
         keys = store.read(spark, "block_keys")
         metrics["stages"]["block_keys"] = m
 
-    # ---- stage 2: candidate pairs + scoring -> match edges -----------------
+    # ---- stage 2: candidate pairs + scoring -> match edges (node-level) ----
     if store.exists("edges"):
         edges = store.read(spark, "edges")
         metrics["stages"]["edges"] = store.read_metrics("edges")
     else:
         if cfg.score_mode == "exact":
-            edges_df = star_edges(keys, "url")
+            edges_df = star_edges(keys, "node_id")
             extra = {"pairs_scored": None, "note": "exact-key parity mode: star edges"}
         else:
-            pairs = candidate_pairs(keys, "url", cfg)
-            scored = score_pairs(pairs, matchable, "url")
+            pairs = candidate_pairs(keys, "node_id", cfg).persist()
+            n_pairs = pairs.count()  # pre-UDF: metric without re-running scoring
+            scored = score_pairs(
+                pairs, nodes, id_col="node_id", name_col="simple_owners"
+            )
             edges_df = match_edges(scored, cfg)
-            extra = {"pairs_scored": scored.count()}
+            # implied record-level pair volume (diagnostic: the node graph
+            # stands in for this many record pairs)
+            extra = {"pairs_scored": n_pairs}
         m = store.write("edges", edges_df, extra_metrics=extra)
+        if cfg.score_mode != "exact":
+            pairs.unpersist()
         edges = store.read(spark, "edges")
         metrics["stages"]["edges"] = m
 
@@ -141,14 +161,22 @@ def run_pipeline(
         clusters = store.read(spark, "clusters")
         metrics["stages"]["clusters"] = store.read_metrics("clusters")
     else:
-        vertices = matchable.select(F.col("url").alias("id"))
         labels = connected_components(
-            edges, vertices=vertices, id_col="id", component_col="cluster_id",
+            edges, vertices=nodes.select(F.col("node_id").alias("id")),
+            id_col="id", component_col="node_cluster",
             max_iterations=cfg.cc_max_iterations,
         )
-        clustered = matchable.join(
-            labels.withColumnRenamed("id", "url"), "url", "left"
-        ).withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("url")))
+        with_nodes = named.join(
+            labels.withColumnRenamed("id", "node_id"), "node_id", "left"
+        ).withColumn("node_cluster", F.coalesce(F.col("node_cluster"), F.col("node_id")))
+        # stable record-level label: min(url) per node cluster
+        w_cluster = Window.partitionBy("node_cluster")
+        clustered = with_nodes.withColumn("cluster_id", F.min("url").over(w_cluster))
+        # records with empty names: singletons
+        empties = matchable.filter(F.length("simple_owners") == 0).withColumn(
+            "cluster_id", F.col("url")
+        )
+        clustered = clustered.select(*empties.columns).unionByName(empties)
         # address refinement for family/juniors (W4)
         clustered = refine_clusters_by_address(clustered)
         # unknowns: singleton clusters (`Name_Matching_opt.py:230-232`,
