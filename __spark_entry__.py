@@ -451,9 +451,11 @@ def oracle_sql() -> dict[str, str]:
                      [list_min(list_transform(sh, g -> md5(g || '#' || i::varchar))) FOR i IN range(0, 8)] AS sig
               FROM t),
             banded AS (
-              SELECT doc_id, sh,
-                     'b' || b::varchar || ':' || md5(array_to_string(sig[b*2+1:b*2+2], ',')) AS band
-              FROM s, unnest(range(0, 4)) AS u(b)),
+              SELECT doc_id, sh, band FROM (
+                SELECT doc_id, sh,
+                       'b' || b::varchar || ':' || md5(array_to_string(sig[b*2+1:b*2+2], ',')) AS band
+                FROM s, unnest(range(0, 4)) AS u(b))
+              QUALIFY count(*) OVER (PARTITION BY band) <= 1000),
             cand AS (
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
               FROM banded a JOIN banded b USING (band)

@@ -88,14 +88,15 @@ def connected_components(
     edges: (src, dst). vertices (optional): one column `id_col`; vertices
     with no edges come back as singletons (component = own id).
     """
-    spark = edges.sparkSession
-    cur = _canonical(edges).localCheckpoint(eager=True)
+    # lazy localCheckpoint: the signature aggregation triggers materialization,
+    # so each round costs ONE job (checkpoint + convergence check combined)
+    cur = _canonical(edges).localCheckpoint(eager=False)
     sig = _signature(cur)
 
     for _ in range(max_iterations):
         if sig[0] == 0:
             break
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         nsig = _signature(nxt)
         cur.unpersist()
         cur = nxt

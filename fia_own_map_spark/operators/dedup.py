@@ -97,9 +97,15 @@ def minhash_lsh_pairs(
     n_bands: int = 4,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, verified with
-    exact shingle-set Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b."""
+    exact shingle-set Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    Buckets larger than max_bucket_size are dropped (standard LSH practice: a
+    band key shared by thousands of documents carries no discrimination and
+    its |B|² verification joins would dominate the job — the same mega-block
+    reasoning as ER blocking, SURVEY.md §4)."""
     rows_per_band = n_hashes // n_bands
     prepared = df.select(
         F.col(id_col),
@@ -107,6 +113,12 @@ def minhash_lsh_pairs(
     ).withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
     banded = prepared.select(
         id_col, "shingles", F.explode(lsh_bands("sig", n_bands, rows_per_band)).alias("band")
+    )
+    w_band = Window.partitionBy("band")
+    banded = (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(w_band))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
     )
     left = banded.select(
         F.col("band"), F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")

@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 from fia_own_map_spark.config import EngineConfig
 from fia_own_map_spark.operators.blocking import blocking_keys, star_edges
 from fia_own_map_spark.operators.cc import connected_components
+from fia_own_map_spark.operators.refine import refine_clusters_by_address
 from fia_own_map_spark.plans.pipeline import stage0_records
+
+_LABEL_SCHEMA = (
+    "url string, cluster_id string, own_type int, comb_addr string"
+)
 
 
 class IncrementalER:
@@ -60,7 +65,7 @@ class IncrementalER:
             class_col="match_bucket",
         )
         old_keys = self._read_state(self._keys_path, "url string, block_key string")
-        old_labels = self._read_state(self._labels_path, "url string, cluster_id string")
+        old_labels = self._read_state(self._labels_path, _LABEL_SCHEMA)
 
         # Affected slice must be closed under the OLD partition: a batch key
         # can merge two old clusters, and every member of a merged cluster
@@ -95,27 +100,37 @@ class IncrementalER:
         ).withColumnRenamed("id", "url")
 
         # merge: re-clustered urls take the new label; others keep theirs;
-        # new unknown/singleton pages default to their own url.
-        new_pages = records.select("url")
+        # new unknown/singleton pages default to their own url. Per-url
+        # attributes (own_type, comb_addr) ride along so the family
+        # address refinement can run over the merged table.
+        attrs = records.select("url", "own_type", "comb_addr")
+        relabeled = (
+            old_labels.join(new_labels.select("url"), "url", "left_semi")
+            .drop("cluster_id")
+            .unionByName(attrs.join(new_labels.select("url"), "url", "left_semi"))
+            .distinct()
+            .join(new_labels, "url")
+        )
+        singletons = (
+            attrs.join(new_labels.select("url"), "url", "left_anti")
+            .join(old_labels.select("url"), "url", "left_anti")
+            .withColumn("cluster_id", F.col("url"))
+        )
         merged = (
             old_labels.join(new_labels.select("url"), "url", "left_anti")
-            .unionByName(new_labels)
-            .unionByName(
-                new_pages.join(new_labels.select("url"), "url", "left_anti")
-                .join(old_labels.select("url"), "url", "left_anti")
-                .withColumn("cluster_id", F.col("url"))
-            )
+            .unionByName(relabeled.select(*old_labels.columns))
+            .unionByName(singletons.select(*old_labels.columns))
         )
 
         all_keys = old_keys.unionByName(new_keys).distinct()
         all_keys.write.mode("overwrite").parquet(self._keys_path + f"_v{batch_id}")
         merged.write.mode("overwrite").parquet(self._labels_path + f"_v{batch_id}")
         # version flip (atomicity stand-in for Iceberg snapshot commit)
-        self._keys_path_latest = self._keys_path + f"_v{batch_id}"
-        self._labels_path_latest = self._labels_path + f"_v{batch_id}"
-        self._keys_path = self._keys_path_latest
-        self._labels_path = self._labels_path_latest
-        return self.spark.read.parquet(self._labels_path)
+        self._keys_path = self._keys_path + f"_v{batch_id}"
+        self._labels_path = self._labels_path + f"_v{batch_id}"
+        # output view: family/juniors clusters split by address (the batch
+        # pipeline applies the same refinement after CC)
+        return refine_clusters_by_address(self.spark.read.parquet(self._labels_path))
 
     def attach_stream(self, pages_stream: DataFrame, checkpoint: str):
         """Wire into Structured Streaming via foreachBatch."""
