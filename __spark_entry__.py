@@ -348,6 +348,48 @@ def q_events_hourly(spark, sf):
     )
 
 
+def q_window_sum_value_per_user(spark, sf):
+    """A6/W1: per-key running totals as window aggregates (no join),
+    `Summary_Script_opt.py:105-117` shape."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("user_total_value"),
+        F.count(F.lit(1)).over(w).alias("user_n_events"),
+    )
+
+
+def q_encode_pack_lineitem(spark, sf):
+    """F19 (`Map_Data_opt.py:67`): integer code packing `a*100 + b`."""
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_linenumber") * 100 + F.month("l_shipdate")).alias("packed_code"),
+    )
+
+
+_NATION_GROUP = {
+    0: "AMERICAS", 1: "AMERICAS", 2: "ASIA", 3: "EUROPE", 4: "MEA",
+}
+
+
+def q_lut_recode_nation(spark, sf):
+    """F20/J7 (`configs.py:115-148` reclass dict, `Last_Overlay_opt.py:28-49`
+    LUT): map-literal recode, no join."""
+    n = _t(spark, sf, "nation")
+    mapping = F.create_map(
+        *[F.lit(x) for kv in _NATION_GROUP.items() for x in kv]
+    )
+    return n.select(
+        "n_nationkey",
+        "n_name",
+        F.coalesce(mapping[F.col("n_regionkey")], F.lit("OTHER")).alias("region_group"),
+    )
+
+
 def q_initial_class_parts(spark, sf):
     p = _t(spark, sf, "part")
     return p.select(
@@ -398,6 +440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": q_set_ops_customers,
         "case_recode_events": q_case_recode_events,
         "events_hourly": q_events_hourly,
+        "window_sum_value_per_user": q_window_sum_value_per_user,
+        "encode_pack_lineitem": q_encode_pack_lineitem,
+        "lut_recode_nation": q_lut_recode_nation,
         "initial_class_parts": q_initial_class_parts,
     }
 
@@ -584,6 +629,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
                    event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "window_sum_value_per_user": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id), 4) AS user_total_value,
+                   count(*) OVER (PARTITION BY user_id) AS user_n_events
+            FROM events
+        """,
+        "encode_pack_lineitem": """
+            SELECT l_orderkey, l_linenumber,
+                   l_linenumber * 100 + month(l_shipdate) AS packed_code
+            FROM lineitem
+        """,
+        "lut_recode_nation": """
+            SELECT n_nationkey, n_name,
+                   CASE n_regionkey WHEN 0 THEN 'AMERICAS' WHEN 1 THEN 'AMERICAS'
+                        WHEN 2 THEN 'ASIA' WHEN 3 THEN 'EUROPE' WHEN 4 THEN 'MEA'
+                        ELSE 'OTHER' END AS region_group
+            FROM nation
         """,
         "initial_class_parts": f"""
             SELECT p_partkey,

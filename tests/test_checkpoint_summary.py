@@ -1,0 +1,63 @@
+"""CheckpointStore resume semantics + summary-stage operators."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from fia_own_map_spark.plans.summary import (
+    ensure_columns,
+    reclass_own_type,
+    summarize_clusters,
+    to_final_schema,
+)
+from fia_own_map_spark.sources.checkpoint import CheckpointStore
+
+
+def test_checkpoint_skip_if_committed(spark, tmp_path):
+    store = CheckpointStore(str(tmp_path), "job")
+    df = spark.createDataFrame(pd.DataFrame({"a": [1, 2, 3]}))
+    m1 = store.write("s1", df)
+    assert m1["rows_out"] == 3
+    assert store.exists("s1")
+    # second write with DIFFERENT data must be skipped (resume semantics)
+    df2 = spark.createDataFrame(pd.DataFrame({"a": [9]}))
+    m2 = store.write("s1", df2)
+    assert m2["rows_out"] == 3
+    assert store.read(spark, "s1").count() == 3
+    # invalidate -> rewrite takes effect
+    store.invalidate("s1")
+    m3 = store.write("s1", df2)
+    assert m3["rows_out"] == 1
+
+
+def test_checkpoint_per_partition_lineage(spark, tmp_path):
+    store = CheckpointStore(str(tmp_path), "job")
+    df = spark.range(100).repartition(4)
+    m = store.write("s", df)
+    assert m["n_partitions"] >= 1
+    assert sum(p["rows_out"] for p in m["partitions"]) == 100
+    assert all("partition_id" in p for p in m["partitions"])
+
+
+def test_summary_ops(spark):
+    pdf = pd.DataFrame(
+        {
+            "url": ["u1", "u2", "u3", "u4"],
+            "cluster_id": ["c1", "c1", "c2", "c3"],
+            "own_type": [45, 45, 41, 42],
+            "w": [1.5, 2.5, 1.0, 4.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = summarize_clusters(df, weight_col="w").toPandas().set_index("url")
+    assert out.loc["u1", "total_parcels_owned"] == 2
+    assert out.loc["u1", "total_weight_owned"] == 4.0
+    assert out.loc["u1", "own_group"] == "Family"
+    assert out.loc["u3", "own_group"] == "Corporate"
+    assert out.loc["u4", "own_group"] == "Other Private"
+
+    df2 = ensure_columns(df, {"extra_flag": 0, "own_type": -1})
+    assert "extra_flag" in df2.columns
+    assert df2.select(F.sum("own_type")).first()[0] == 45 + 45 + 41 + 42  # not overwritten
+
+    df3 = to_final_schema(df2, {"url": "record_id"}, ["record_id", "cluster_id", "extra_flag"])
+    assert df3.columns == ["record_id", "cluster_id", "extra_flag"]
