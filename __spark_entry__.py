@@ -210,7 +210,9 @@ def q_ann_lsh_topk(spark, sf):
 # relational operator parity (SURVEY.md §2) on the TPC-H-ish tables
 # ---------------------------------------------------------------------------
 def q_tpch_q1_pricing(spark, sf):
-    li = _t(spark, sf, "lineitem")
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -561,7 +563,9 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
                    round(avg(l_quantity), 6) AS avg_qty,
                    count(*) AS count_order
-            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "join_customer_nation_revenue": """
             SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
