@@ -159,6 +159,13 @@ def q_dedup_ngram_jaccard(spark, sf):
 # ---------------------------------------------------------------------------
 # text-analysis queries
 # ---------------------------------------------------------------------------
+def q_dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-dup pairs (bounded slice; LSH-bucketed variant
+    is the scale path, exercised in tests)."""
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
+    return dedup.embedding_cosine_pairs(emb, threshold=0.2)
+
+
 def q_text_lang_id(spark, sf):
     return _t(spark, sf, "documents").select(
         "doc_id", text.lang_id("text").alias("lang_pred")
@@ -421,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,    # rows-only (FNV simhash UDF)
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         # text analysis
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -531,6 +539,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
               AND len(list_intersect(a.grams, b.grams))::double
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.35
+        """,
+        "dedup_embedding_cosine": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(CASE WHEN sqrt(list_dot_product(a.embedding, a.embedding))
+                                   * sqrt(list_dot_product(b.embedding, b.embedding)) = 0 THEN 0.0
+                         ELSE list_dot_product(a.embedding, b.embedding)
+                              / (sqrt(list_dot_product(a.embedding, a.embedding))
+                                 * sqrt(list_dot_product(b.embedding, b.embedding))) END, 6)
+                       AS cosine
+            FROM e a, e b
+            WHERE a.vec_id < b.vec_id
+              AND round(CASE WHEN sqrt(list_dot_product(a.embedding, a.embedding))
+                                  * sqrt(list_dot_product(b.embedding, b.embedding)) = 0 THEN 0.0
+                        ELSE list_dot_product(a.embedding, b.embedding)
+                             / (sqrt(list_dot_product(a.embedding, a.embedding))
+                                * sqrt(list_dot_product(b.embedding, b.embedding))) END, 6) >= 0.2
         """,
         "text_lang_id": _lang_id_sql(),
         "text_quality": _quality_sql(),

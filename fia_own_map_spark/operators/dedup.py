@@ -209,6 +209,45 @@ def simhash_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-duplicates
+# ---------------------------------------------------------------------------
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bucket_planes: int = 0,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    bucket_planes=0 is the exact all-pairs path (only for bounded inputs);
+    >0 buckets by random-hyperplane signs first (the ANN module's LSH), so
+    only same-bucket pairs are compared — the scale path.
+    """
+    from fia_own_map_spark.operators.ann import cosine, hyperplane_bucket, _seeded_planes
+
+    base = df.select(F.col(id_col), F.col(vec_col))
+    if bucket_planes > 0:
+        dim = len(base.select(vec_col).first()[0])
+        planes = _seeded_planes(bucket_planes, dim)
+        base = base.withColumn("_bucket", hyperplane_bucket(vec_col, planes))
+        join_cols = ["_bucket"]
+        a = base.select("_bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+        b = base.select("_bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+        joined = a.join(b, join_cols)
+    else:
+        a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+        b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+        joined = a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, within a blocking column)
 # ---------------------------------------------------------------------------
 def ngram_jaccard_pairs(
