@@ -155,6 +155,12 @@ class EngineConfig:
     cc_max_iterations: int = 50
     shuffle_partitions: int | None = None
     score_mode: str = "exact"  # "exact" (reference parity) | "similarity"
+    # second blocking-key family (north_rule: metaphone + soundex). Soundex
+    # keys are per-token and deliberately generous; they only make sense with
+    # similarity scoring pruning the extra candidates, so parity (exact) mode
+    # keeps them off — the F1 criterion is "under the same blocking keys" as
+    # the reference, which uses metaphone only (Name_Matching_opt.py:67-69).
+    use_soundex_keys: bool = False
     salt_mega_blocks: bool = True
     checkpoint_root: str = ".checkpoints"
     extra: dict = field(default_factory=dict)

@@ -49,11 +49,30 @@ def blocking_keys(
     records: DataFrame,
     id_col: str = "url",
     class_col: str | None = "own_type",
+    include_soundex: bool = False,
+    tokens_col: str = "tokens",
 ) -> DataFrame:
     """(id, block_key) pairs; key is class-prefixed so clusters never span
     ownership classes (the reference matches within class buckets only,
-    `Name_Matching_opt.py:158-227`)."""
+    `Name_Matching_opt.py:158-227`).
+
+    include_soundex adds the second key family from the north rule: one
+    soundex key per name token (prefix ``SX:``), built-in JVM soundex —
+    generous recall blocking meant to be pruned by similarity scoring
+    (a metaphone-breaking typo usually keeps most tokens' soundex intact).
+    """
     keys = exploded_metaphone_keys(records, id_col=id_col)
+    if include_soundex:
+        sx = (
+            records.select(F.col(id_col), F.explode(tokens_col).alias("_tok"))
+            .filter(F.length("_tok") > 1)
+            .select(
+                id_col,
+                F.concat(F.lit("SX:"), F.soundex(F.col("_tok"))).alias("block_key"),
+            )
+            .distinct()
+        )
+        keys = keys.unionByName(sx)
     if class_col is not None:
         cls = records.select(id_col, F.col(class_col).cast("string").alias("_cls"))
         keys = keys.join(cls, id_col).withColumn(
@@ -82,6 +101,15 @@ def salt_mega_blocks(
     stats = block_stats(keys)
     mega = stats.filter(F.col("block_size") > cfg.max_block_size).withColumn(
         "n_salt", F.ceil(F.col("block_size") / cfg.max_block_size).cast("int")
+    )
+    # dropped-pair accounting (SURVEY §7.4.4 — silent truncation is a
+    # correctness bug): similarity mode loses cross-sub-block pairs inside a
+    # mega-block; exact mode loses nothing (REP keys preserve connectivity).
+    b, s = F.col("block_size").cast("double"), F.col("n_salt").cast("double")
+    sub = F.ceil(b / s)
+    mega = mega.withColumn(
+        "est_dropped_pairs",
+        (b * (b - 1) / 2 - s * (sub * (sub - 1) / 2) - s * (s - 1) / 2).cast("long"),
     )
     annotated = keys.join(F.broadcast(mega), "block_key", "left")
     normal = annotated.filter(F.col("n_salt").isNull()).select(id_col, "block_key")

@@ -111,20 +111,30 @@ def run_pipeline(
     named = matchable.filter(F.length("simple_owners") > 0).withColumn(
         "node_id", F.concat_ws("|", "match_bucket", "simple_owners")
     )
-    nodes = named.select("node_id", "match_bucket", "simple_owners", "name_keys").distinct()
+    nodes = named.select(
+        "node_id", "match_bucket", "simple_owners", "tokens", "name_keys"
+    ).distinct()
 
     # ---- stage 1: blocking keys + explicit skew handling -------------------
     if store.exists("block_keys"):
         keys = store.read(spark, "block_keys")
         metrics["stages"]["block_keys"] = store.read_metrics("block_keys")
     else:
-        raw_keys = blocking_keys(nodes, id_col="node_id", class_col="match_bucket")
+        raw_keys = blocking_keys(
+            nodes, id_col="node_id", class_col="match_bucket",
+            include_soundex=cfg.use_soundex_keys,
+        )
         if cfg.salt_mega_blocks:
             salted, mega = salt_mega_blocks(raw_keys, "node_id", cfg)
             mega_rows = mega.collect()
             extra = {
                 "mega_blocks": len(mega_rows),
                 "largest_block": max((r["block_size"] for r in mega_rows), default=0),
+                # candidate pairs unscored in similarity mode due to salting
+                # (never silent — SURVEY §7.4.4); zero impact in exact mode
+                "est_dropped_pairs": int(
+                    sum(max(r["est_dropped_pairs"], 0) for r in mega_rows)
+                ),
             }
         else:
             salted, extra = raw_keys, {"mega_blocks": 0}
