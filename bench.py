@@ -332,7 +332,7 @@ def _pinned_run(kind: str, cores: int, path: str) -> dict:
 
 def phase_b(
     repeats: int = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3")),
-    budget_s: float = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900")),
+    budget_s: float = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "600")),
 ) -> dict:
     corpus = _bench_corpus_path()
     pairs_path = _pairs_parquet_path(corpus)
