@@ -109,6 +109,33 @@ def q_er_cluster_documents(spark, sf):
     return cluster_size(out, "cluster_id").orderBy("url")
 
 
+def q_er_cluster_fingerprint(spark, sf):
+    """Flagship-shaped transitive clustering with SQL-expressible blocking
+    keys (sorted-token fingerprint + first token) so the driver can value-
+    check the full blocking -> star-edges -> connected-components path via a
+    DuckDB recursive CTE (the metaphone-key variant stays rows-only)."""
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.split(_doc_name(4), " ").alias("tokens"),
+    )
+    keys = docs.select(
+        "url",
+        F.explode(
+            F.array(
+                F.concat(F.lit("fp:"), F.array_join(F.array_sort("tokens"), "")),
+                F.concat(F.lit("t1:"), F.col("tokens")[0]),
+            )
+        ).alias("block_key"),
+    )
+    edges = star_edges(keys, "url")
+    labels = connected_components(
+        edges, vertices=docs.select(F.col("url").alias("id")), id_col="id",
+        component_col="cluster_id",
+    )
+    out = labels.withColumnRenamed("id", "url")
+    return cluster_size(out, "cluster_id").orderBy("url")
+
+
 def q_er_score_pairs(spark, sf):
     docs = _t(spark, sf, "documents").select(
         "doc_id", _doc_name(6).alias("name")
@@ -189,8 +216,11 @@ def q_text_token_counts(spark, sf):
 
 
 def q_text_fingerprint(spark, sf):
+    """Winnowing fingerprint in the md5 hash family — a hashable scalar the
+    driver can sort/hash, and reproducible in DuckDB SQL (the FNV array<long>
+    variant, `text.doc_fingerprint`, stays the internal API)."""
     return _t(spark, sf, "documents").select(
-        "doc_id", text.doc_fingerprint("text").alias("fingerprint")
+        "doc_id", text.doc_fingerprint_md5("text").alias("fingerprint")
     )
 
 
@@ -420,7 +450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_normalize_ascii": q_er_normalize_ascii,
         "er_token_fingerprint": q_er_token_fingerprint,
         "er_blocking_keys": q_er_blocking_keys,          # rows-only (metaphone UDF)
-        "er_cluster_documents": q_er_cluster_documents,  # rows-only (iterative CC)
+        "er_cluster_documents": q_er_cluster_documents,  # rows-only (metaphone keys)
+        "er_cluster_fingerprint": q_er_cluster_fingerprint,
         "er_score_pairs": q_er_score_pairs,
         # dedup family
         "dedup_exact_groups": q_dedup_exact_groups,
@@ -433,7 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
-        "text_fingerprint": q_text_fingerprint,          # rows-only (winnowing UDF)
+        "text_fingerprint": q_text_fingerprint,
         # ANN
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,                  # rows-only (approx by design)
@@ -467,6 +498,29 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, array_to_string(list_sort((string_split({norm},' '))[1:3]), '')"
             " AS fingerprint FROM documents"
         ),
+        "er_cluster_fingerprint": f"""
+            WITH RECURSIVE
+            docs AS (SELECT doc_id::VARCHAR AS url,
+                            string_split({_DOC_NAME_SQL.format(k=4)}, ' ') AS toks
+                     FROM documents),
+            keys AS (
+              SELECT url, 'fp:' || array_to_string(list_sort(toks), '') AS block_key FROM docs
+              UNION ALL
+              SELECT url, 't1:' || toks[1] AS block_key FROM docs),
+            hubs AS (SELECT block_key, min(url) AS hub FROM keys GROUP BY block_key),
+            edges AS (
+              SELECT DISTINCT k.url AS src, h.hub AS dst
+              FROM keys k JOIN hubs h USING (block_key) WHERE k.url <> h.hub),
+            sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+            reach(id, r) AS (
+              SELECT url, url FROM docs
+              UNION
+              SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r),
+            comp AS (SELECT id AS url, min(r) AS cluster_id FROM reach GROUP BY id)
+            SELECT url, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM comp ORDER BY url
+        """,
         "er_score_pairs": f"""
             WITH named AS (SELECT doc_id, {name6} AS name FROM documents)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -540,22 +594,53 @@ def oracle_sql() -> dict[str, str]:
               AND len(list_intersect(a.grams, b.grams))::double
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.35
         """,
+        # NB: embeddings are FLOAT[]; DuckDB's list_dot_product would fold in
+        # float32 while Spark casts elements to double first — cast to
+        # DOUBLE[] so both engines do the identical sequential float64 fold.
         "dedup_embedding_cosine": """
-            WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100)
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                       FROM embeddings WHERE vec_id < 100)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(CASE WHEN sqrt(list_dot_product(a.embedding, a.embedding))
-                                   * sqrt(list_dot_product(b.embedding, b.embedding)) = 0 THEN 0.0
-                         ELSE list_dot_product(a.embedding, b.embedding)
-                              / (sqrt(list_dot_product(a.embedding, a.embedding))
-                                 * sqrt(list_dot_product(b.embedding, b.embedding))) END, 6)
+                   round(CASE WHEN sqrt(list_dot_product(a.v, a.v))
+                                   * sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+                         ELSE list_dot_product(a.v, b.v)
+                              / (sqrt(list_dot_product(a.v, a.v))
+                                 * sqrt(list_dot_product(b.v, b.v))) END, 6)
                        AS cosine
             FROM e a, e b
             WHERE a.vec_id < b.vec_id
-              AND round(CASE WHEN sqrt(list_dot_product(a.embedding, a.embedding))
-                                  * sqrt(list_dot_product(b.embedding, b.embedding)) = 0 THEN 0.0
-                        ELSE list_dot_product(a.embedding, b.embedding)
-                             / (sqrt(list_dot_product(a.embedding, a.embedding))
-                                * sqrt(list_dot_product(b.embedding, b.embedding))) END, 6) >= 0.2
+              AND round(CASE WHEN sqrt(list_dot_product(a.v, a.v))
+                                  * sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+                        ELSE list_dot_product(a.v, b.v)
+                             / (sqrt(list_dot_product(a.v, a.v))
+                                * sqrt(list_dot_product(b.v, b.v))) END, 6) >= 0.2
+        """,
+        # winnowing (Schleimer et al. 2003) in the md5 hash family: k=5-gram
+        # hashes, min per 4-window, consecutive-dedup — pure list ops
+        "text_fingerprint": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN []
+                          WHEN len(toks) < 5 THEN [md5(array_to_string(toks, ' '))]
+                          ELSE [md5(array_to_string(toks[i:i+4], ' '))
+                                FOR i IN range(1, len(toks) - 3)]
+                     END AS grams
+              FROM t),
+            m AS (
+              SELECT doc_id,
+                     CASE WHEN len(grams) = 0 THEN []
+                          WHEN len(grams) <= 4 THEN [list_min(grams)]
+                          ELSE [list_min(grams[i:i+3]) FOR i IN range(1, len(grams) - 2)]
+                     END AS mins
+              FROM g)
+            SELECT doc_id,
+                   array_to_string(list_filter(mins, (x, i) -> i = 1 OR x <> mins[i-1]), ',')
+                       AS fingerprint
+            FROM m
         """,
         "text_lang_id": _lang_id_sql(),
         "text_quality": _quality_sql(),
@@ -566,16 +651,19 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
             FROM documents
         """,
+        # double-cast for the same float64-fold parity as dedup_embedding_cosine
         "ann_cosine_topk": """
-            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+            WITH ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                        FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qvec FROM ed WHERE vec_id < 5),
             scored AS (
               SELECT q.query_id, e.vec_id,
-                     round(CASE WHEN sqrt(list_dot_product(e.embedding, e.embedding))
+                     round(CASE WHEN sqrt(list_dot_product(e.v, e.v))
                                      * sqrt(list_dot_product(q.qvec, q.qvec)) = 0 THEN 0.0
-                           ELSE list_dot_product(e.embedding, q.qvec)
-                                / (sqrt(list_dot_product(e.embedding, e.embedding))
+                           ELSE list_dot_product(e.v, q.qvec)
+                                / (sqrt(list_dot_product(e.v, e.v))
                                    * sqrt(list_dot_product(q.qvec, q.qvec))) END, 6) AS score
-              FROM embeddings e CROSS JOIN q)
+              FROM ed e CROSS JOIN q)
             SELECT query_id, vec_id, score,
                    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
             FROM scored

@@ -12,7 +12,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, LongType, StringType
 
 from fia_own_map_spark.operators.dedup import hash64
 
@@ -128,3 +128,41 @@ def _winnow_udf(texts: pd.Series) -> pd.Series:
 def doc_fingerprint(text_col: Column | str) -> Column:
     """array<long> winnowing fingerprint (signed-shifted to fit LongType)."""
     return _winnow_udf(F.col(text_col) if isinstance(text_col, str) else text_col)
+
+
+def winnow_md5_py(text: str, k: int = 5, window: int = 4) -> list[str]:
+    """Winnowing with an md5-hex gram hash: identical structure to
+    ``winnow_py`` but the hash family is reproducible in SQL (DuckDB md5),
+    making the fingerprint value-checkable cross-engine. min over hex
+    strings is lexicographic in both engines."""
+    import hashlib
+
+    def h(s: str) -> str:
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    toks = text.lower().split()
+    if len(toks) < k:
+        return [h(" ".join(toks))] if toks else []
+    grams = [h(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)]
+    if len(grams) <= window:
+        return [min(grams)]
+    out: list[str] = []
+    last = None
+    for i in range(len(grams) - window + 1):
+        m = min(grams[i : i + window])
+        if m != last:
+            out.append(m)
+            last = m
+    return out
+
+
+@pandas_udf(StringType())
+def _winnow_md5_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: None if t is None else ",".join(winnow_md5_py(t)))
+
+
+def doc_fingerprint_md5(text_col: Column | str) -> Column:
+    """Comma-joined md5-family winnowing fingerprint (hashable scalar — the
+    cross-engine-checkable form; the array<long> FNV variant stays the
+    internal API)."""
+    return _winnow_md5_udf(F.col(text_col) if isinstance(text_col, str) else text_col)
