@@ -22,11 +22,7 @@ from pyspark.sql import functions as F
 
 from fia_own_map_spark.config import EngineConfig
 from fia_own_map_spark.functions.combos import exploded_metaphone_keys, normalized_name_keys
-from fia_own_map_spark.functions.similarity import (
-    jaro_winkler_sim,
-    levenshtein_ratio,
-    token_set_jaccard,
-)
+from fia_own_map_spark.functions.similarity import similarity_scores
 from fia_own_map_spark.operators import ann, dedup, text
 from fia_own_map_spark.operators.blocking import star_edges
 from fia_own_map_spark.operators.cc import connected_components
@@ -143,15 +139,13 @@ def q_er_score_pairs(spark, sf):
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("name").alias("name_a"))
     b = docs.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"),
                     F.col("name").alias("name_b"))
-    pairs = a.join(b, "id_a")
+    pairs = a.join(b, "id_a").withColumn("_s", similarity_scores("name_a", "name_b"))
     return pairs.select(
         "id_a",
         "id_b",
-        F.round(jaro_winkler_sim("name_a", "name_b"), 6).alias("jw"),
-        F.round(levenshtein_ratio("name_a", "name_b"), 6).alias("lev_ratio"),
-        F.round(
-            token_set_jaccard(F.split("name_a", " "), F.split("name_b", " ")), 6
-        ).alias("jaccard"),
+        F.round(F.col("_s.jw"), 6).alias("jw"),
+        F.round(F.col("_s.lev_ratio"), 6).alias("lev_ratio"),
+        F.round(F.col("_s.jaccard"), 6).alias("jaccard"),
     )
 
 

@@ -30,11 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fia_own_map_spark.config import EngineConfig
-from fia_own_map_spark.functions.similarity import (
-    jaro_winkler_sim,
-    levenshtein_ratio,
-    token_set_jaccard,
-)
+from fia_own_map_spark.functions.similarity import similarity_scores
 
 
 def score_pairs(
@@ -57,20 +53,20 @@ def score_pairs(
         )
     )
 
-    # score each distinct name pair exactly once (dedup-before-UDF)
+    # score each distinct name pair exactly once (dedup-before-UDF), all three
+    # measures in ONE fused Arrow round-trip (vectorized python kernel)
     parallelism = spark.sparkContext.defaultParallelism
     name_pairs = (
         with_names.select("name_a", "name_b")
         .distinct()
         .repartition(parallelism)
-        .withColumn("jw", jaro_winkler_sim("name_a", "name_b"))
-        .withColumn("lev_ratio", levenshtein_ratio("name_a", "name_b"))
-        .withColumn(
-            "jaccard",
-            token_set_jaccard(F.split("name_a", " "), F.split("name_b", " ")),
-        )
+        .withColumn("_s", similarity_scores("name_a", "name_b"))
+        .select("name_a", "name_b", "_s.jw", "_s.lev_ratio", "_s.jaccard")
     )
-    return with_names.join(F.broadcast(name_pairs), ["name_a", "name_b"]).select(
+    # No broadcast hint: the distinct-name-pair table grows with candidate
+    # diversity (unbounded at corpus scale) — let AQE pick broadcast vs
+    # shuffle join from the measured size at runtime.
+    return with_names.join(name_pairs, ["name_a", "name_b"]).select(
         "id_a", "id_b", "jw", "lev_ratio", "jaccard"
     )
 
