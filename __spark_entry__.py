@@ -161,9 +161,20 @@ def q_dedup_exact_keep(spark, sf):
 
 
 def q_dedup_minhash_pairs(spark, sf):
+    """md5 hash family — DuckDB-reproducible, the value-checked variant."""
     return dedup.minhash_lsh_pairs(
         _t(spark, sf, "documents"), n_hashes=8, n_bands=4, shingle_k=1,
-        jaccard_threshold=0.9,
+        jaccard_threshold=0.9, hash_family="md5",
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_minhash_fast(spark, sf):
+    """xxhash64 hash family — the production/bench path (typed JVM hashing,
+    no per-shingle string materialization); rows-only by design (no xxhash64
+    in DuckDB), same banding/verification plan as the md5 variant."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), n_hashes=8, n_bands=4, shingle_k=1,
+        jaccard_threshold=0.9, hash_family="xxhash64",
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -207,6 +218,15 @@ def q_text_token_counts(spark, sf):
         text.token_count_ws("text").alias("n_ws_tokens"),
         text.token_count_bpe_ish("text").alias("n_bpe_tokens"),
     )
+
+
+def q_ml_cascade_lang(spark, sf):
+    """M5 fast->medium classifier cascade (mapInPandas, per-executor model
+    singletons; deterministic stub tiers so DuckDB can value-check the
+    escalation semantics)."""
+    from fia_own_map_spark.operators.ml import cascade_classify
+
+    return cascade_classify(_t(spark, sf, "documents")).orderBy("doc_id")
 
 
 def q_text_fingerprint(spark, sf):
@@ -451,10 +471,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_minhash_fast": q_dedup_minhash_fast,      # rows-only (xxhash64 family)
         "dedup_simhash_pairs": q_dedup_simhash_pairs,    # rows-only (FNV simhash UDF)
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         # text analysis
+        "ml_cascade_lang": q_ml_cascade_lang,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
@@ -636,6 +658,7 @@ def oracle_sql() -> dict[str, str]:
                        AS fingerprint
             FROM m
         """,
+        "ml_cascade_lang": _cascade_sql(),
         "text_lang_id": _lang_id_sql(),
         "text_quality": _quality_sql(),
         "text_token_counts": r"""
@@ -800,6 +823,41 @@ def _lang_id_sql() -> str:
     return f"""
         SELECT doc_id, CASE {cases} ELSE 'und' END AS lang_pred
         FROM (SELECT doc_id, text, {best} AS best FROM documents)
+    """
+
+
+def _cascade_sql() -> str:
+    """Oracle for the M5 cascade: fast tier = stopword lang-ID (same CASE as
+    text_lang_id), medium tier = CJK-script detect + stopword ID + 'en'
+    prior; escalation only when the fast prediction misses the label."""
+    from fia_own_map_spark.operators.text import LANG_PROFILES
+
+    scores = {
+        lang: (
+            "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+            f" t -> list_contains({words!r}, t)))"
+        ).replace('"', "'")
+        for lang, words in LANG_PROFILES.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    cases = " ".join(
+        f"WHEN {scores[lang]} = best AND best > 0 THEN '{lang}'" for lang in sorted(scores)
+    )
+    return f"""
+        WITH f AS (SELECT doc_id, lang AS provided, text, {best} AS best FROM documents),
+        g AS (SELECT doc_id, provided, text, CASE {cases} ELSE 'und' END AS fast_pred FROM f),
+        h AS (
+          SELECT doc_id, provided, fast_pred,
+                 CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                      WHEN fast_pred <> 'und' THEN fast_pred
+                      ELSE 'en' END AS medium_pred
+          FROM g)
+        SELECT doc_id, provided,
+               CASE WHEN fast_pred = provided THEN fast_pred ELSE medium_pred END AS pred,
+               CASE WHEN fast_pred = provided THEN true
+                    ELSE medium_pred = provided END AS verified,
+               CASE WHEN fast_pred = provided THEN 'fast' ELSE 'medium' END AS tier
+        FROM h ORDER BY doc_id
     """
 
 

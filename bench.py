@@ -39,7 +39,7 @@ HEADLINE = [
     "er_cluster_documents",
     "er_score_pairs",
     "dedup_exact_keep",
-    "dedup_minhash_pairs",
+    "dedup_minhash_fast",
     "text_quality",
     "text_lang_id",
     "ann_cosine_topk",
@@ -350,8 +350,12 @@ def phase_b(
     for _ in range(max(repeats, 3)):
         for c in KERNEL_LEVELS:
             kruns[c].append(_pinned_run("kernel", c, pairs_path))
-    lo_runs = [_pinned_run("er", 8, corpus)]
-    hi_runs = [_pinned_run("er", 32, corpus)]
+    # ER context runs: best-of-2 interleaved (single runs are at the mercy
+    # of multi-minute host-throttle windows, see kernel history)
+    lo_runs, hi_runs = [], []
+    for _ in range(2):
+        lo_runs.append(_pinned_run("er", 8, corpus))
+        hi_runs.append(_pinned_run("er", 32, corpus))
     while time.time() - t_start <= budget_s * 0.6:
         for c in KERNEL_LEVELS:
             kruns[c].append(_pinned_run("kernel", c, pairs_path))

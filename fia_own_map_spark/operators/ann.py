@@ -70,6 +70,13 @@ def _seeded_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimension from the first row (one Spark job — pass dim
+    explicitly on production paths); 0 when the input is empty."""
+    row = df.select(vec_col).first()
+    return len(row[0]) if row is not None and row[0] is not None else 0
+
+
 def hyperplane_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
     """Sign-bit bucket string from deterministic hyperplanes (native exprs)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
@@ -96,10 +103,15 @@ def lsh_cosine_topk(
     """LSH-bucketed cosine top-k: exact cosine within the query's bucket.
 
     Recall < 1 by construction (bucket misses); the bench compares it to the
-    brute-force baseline. dim inferred from the first query row if absent.
+    brute-force baseline. Pass ``dim`` explicitly on production paths —
+    inference costs a Spark job and needs a non-empty query set.
     """
     if dim is None:
-        dim = len(queries.select(vec_col).first()[0])
+        dim = _infer_dim(queries, vec_col)
+        if dim == 0:  # empty query set — empty result
+            return queries.sparkSession.createDataFrame(
+                [], f"{query_id_col} long, {id_col} long, score double, rank int"
+            )
     planes = _seeded_planes(n_planes, dim, seed)
     c = corpus.withColumn("_bucket", hyperplane_bucket(vec_col, planes))
     q = queries.select(

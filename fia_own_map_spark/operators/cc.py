@@ -68,12 +68,18 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _signature(edges: DataFrame) -> tuple[int, int]:
+def _signature(edges: DataFrame) -> tuple[int, int, int]:
+    """(count, xor-hash, xor-hash') — two INDEPENDENT xxhash64 families (a
+    salt literal reseeds the second), so a between-rounds collision needs a
+    simultaneous collision in both 64-bit folds (~2^-128 per round); the
+    aggregation is the same single job that materializes the lazy
+    localCheckpoint."""
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        F.coalesce(F.bit_xor(F.xxhash64(F.lit(0x9E3779B9), "src", "dst")), F.lit(0)).alias("h2"),
     ).collect()[0]
-    return int(row["n"]), int(row["h"])
+    return int(row["n"]), int(row["h"]), int(row["h2"])
 
 
 def connected_components(

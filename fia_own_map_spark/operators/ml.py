@@ -10,9 +10,10 @@ HashingTF -> IDF -> RandomForestClassifier(numTrees=20, seed=0). Training is
 distributed; inference is one model.transform (no chunk loop — Arrow batches
 and executor parallelism replace it, SURVEY.md §4 X2).
 
-nltk's Porter stemmer is not in this container, so stemming uses a compact
-clean-room Porter-style suffix stripper (deterministic, vectorized); the
-pipeline shape and the model contract match the reference.
+Stemming is a faithful clean-room Porter implementation
+(functions/stemmer.py, nltk mode — the reference stems with
+``nltk.PorterStemmer()``), applied token-wise inside the Arrow-batched
+stemming UDF with a per-batch memo (owner vocabularies repeat heavily).
 """
 
 from __future__ import annotations
@@ -28,42 +29,29 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
-_STEP1 = [("sses", "ss"), ("ies", "i"), ("ss", "ss"), ("s", "")]
-_SUFFIXES = [
-    "ational", "tional", "iveness", "fulness", "ousness", "ization", "biliti",
-    "entli", "ousli", "alism", "aliti", "ation", "ement", "ments", "ence",
-    "ance", "able", "ible", "ment", "ent", "ism", "ate", "iti", "ous", "ive",
-    "ize", "ing", "ed", "er", "ly",
-]
+from fia_own_map_spark.functions.stemmer import porter_stem
 
 
-def porter_ish_stem(word: str) -> str:
-    """Compact Porter-style stemmer: step-1 plural folding + one longest
-    suffix strip with a 3-char stem floor. Deterministic and total."""
-    w = word
-    for suf, rep in _STEP1:
-        if w.endswith(suf):
-            if len(w) - len(suf) + len(rep) >= 2:
-                w = w[: len(w) - len(suf)] + rep
-            break
-    for suf in _SUFFIXES:
-        if w.endswith(suf) and len(w) - len(suf) >= 3:
-            w = w[: len(w) - len(suf)]
-            break
-    return w
-
-
-def preprocess_simple_owner_py(s: str) -> str:
+def preprocess_simple_owner_py(s: str, _memo: dict | None = None) -> str:
     """Mirror of `Classify_Unknowns_opt.py:110-114`: lower, strip
-    non-word/space chars, stem each token."""
+    non-word/space chars, Porter-stem each token."""
+    memo = _memo if _memo is not None else {}
     s = s.lower()
     s = re.sub(r"[^\w\s]", "", s)
-    return " ".join(porter_ish_stem(t) for t in s.split())
+    out = []
+    for t in s.split():
+        st = memo.get(t)
+        if st is None:
+            st = porter_stem(t)
+            memo[t] = st
+        out.append(st)
+    return " ".join(out)
 
 
 @pandas_udf(StringType())
 def _stem_udf(col: pd.Series) -> pd.Series:
-    return col.map(lambda v: None if v is None else preprocess_simple_owner_py(v))
+    memo: dict = {}  # per-batch token memo — owner vocabularies repeat heavily
+    return col.map(lambda v: None if v is None else preprocess_simple_owner_py(v, memo))
 
 
 def stemmed(col: Column | str) -> Column:
@@ -116,6 +104,103 @@ def train_residual_classifier(
     metrics = {"holdout_n": n, "holdout_accuracy": round(correct / n, 4) if n else None}
     labels = idx_model.labelsArray[0]
     return model, labels, metrics
+
+
+# ---------------------------------------------------------------------------
+# M5 — fast -> medium classifier cascade (mapInPandas, per-executor singleton)
+# ---------------------------------------------------------------------------
+# Mirrors `LLM_Crossvalidation_Classification/llm_classifier/validator/
+# __main__.py:167-231`: a cheap FAST model classifies every record; records
+# whose prediction disagrees with the provided label escalate to a costlier
+# MEDIUM model; rows come back with (pred, verified, tier). The reference
+# loads FAST_CLF/MEDIUM_CLF once per process as module globals — here each
+# python worker materializes a model once via a per-executor singleton cache,
+# and the MEDIUM model is loaded lazily, only on the first batch that
+# actually escalates (real LLM weights are expensive; stub models keep the
+# operator deterministic and testable in this container — swap the factories
+# for real model loaders in production).
+_CASCADE_SINGLETONS: dict[str, object] = {}
+
+
+def _singleton(key: str, factory):
+    model = _CASCADE_SINGLETONS.get(key)
+    if model is None:
+        model = factory()
+        _CASCADE_SINGLETONS[key] = model
+    return model
+
+
+def lang_id_py(text: str) -> str:
+    """Pandas mirror of operators/text.lang_id (stopword argmax, alphabetical
+    tie-break, 'und' when nothing hits)."""
+    from fia_own_map_spark.operators.text import LANG_PROFILES
+
+    toks = text.lower().split()
+    hits = {lang: sum(t in set(ws) for t in toks) for lang, ws in LANG_PROFILES.items()}
+    best = max(hits.values())
+    if best > 0:
+        for lang in sorted(hits):
+            if hits[lang] == best:
+                return lang
+    return "und"
+
+
+class FastLangStub:
+    """The cheap tier: stopword-profile language ID."""
+
+    def classify_batch(self, texts: pd.Series) -> pd.Series:
+        return texts.map(lang_id_py)
+
+
+class MediumLangStub:
+    """The escalation tier: CJK script detection + stopword ID + 'en' prior."""
+
+    _CJK = re.compile("[一-鿿]")
+
+    def classify_batch(self, texts: pd.Series) -> pd.Series:
+        def classify(t: str) -> str:
+            if self._CJK.search(t):
+                return "zh"
+            lid = lang_id_py(t)
+            return lid if lid != "und" else "en"
+
+        return texts.map(classify)
+
+
+def cascade_classify(
+    df: DataFrame,
+    text_col: str = "text",
+    provided_col: str = "lang",
+    id_col: str = "doc_id",
+    fast_factory=FastLangStub,
+    medium_factory=MediumLangStub,
+) -> DataFrame:
+    """(id, provided, pred, verified, tier) via the fast->medium cascade."""
+    schema = (
+        f"{id_col} long, provided string, pred string, verified boolean, tier string"
+    )
+
+    def run(batches):
+        fast = _singleton("cascade_fast", fast_factory)
+        medium = None
+        for pdf in batches:
+            res = pd.DataFrame(
+                {id_col: pdf[id_col], "provided": pdf[provided_col]}
+            )
+            pred = fast.classify_batch(pdf[text_col])
+            ok = pred.eq(pdf[provided_col])
+            res["pred"], res["verified"], res["tier"] = pred, ok, "fast"
+            fail = ~ok
+            if fail.any():
+                if medium is None:  # lazy: only pay for the big model on escalation
+                    medium = _singleton("cascade_medium", medium_factory)
+                mp = medium.classify_batch(pdf.loc[fail, text_col])
+                res.loc[fail, "pred"] = mp
+                res.loc[fail, "verified"] = mp.eq(pdf.loc[fail, provided_col])
+                res.loc[fail, "tier"] = "medium"
+            yield res
+
+    return df.mapInPandas(run, schema)
 
 
 def predict_residual(

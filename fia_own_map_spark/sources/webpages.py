@@ -241,7 +241,12 @@ def generate_web_pages(
             f"OWNER: {o1}",
             f"CO-OWNER: {o2}",
             f"CARE OF: {care_of}",
-            f"ADDRESS: {addr_num} {predir} {e['addr_street']} {e['addr_mode']}",
+            # single-spaced from non-empty parts: an empty predir must not
+            # leave a double space (the \S+-based mention parser would then
+            # null the street/mode and split families on address form)
+            "ADDRESS: " + " ".join(
+                p for p in (addr_num, predir, e["addr_street"], e["addr_mode"]) if p
+            ),
             f"REGION: {e['region']}",
             f"NOTES: {filler}",
         ]

@@ -17,7 +17,11 @@ rows *sharing those keys*, run CC on that slice, and merge labels back
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fia_own_map_spark.config import EngineConfig
@@ -31,25 +35,109 @@ _LABEL_SCHEMA = (
 )
 
 
+class DeltaStateStore:
+    """Append-plus-compact versioned parquet state (Iceberg-snapshot
+    stand-in for the local/test environment).
+
+    Each micro-batch appends ONLY its delta to a fixed-depth path
+    ``root/name/d{version}`` — per-batch write volume is proportional to the
+    batch, not the corpus. A manifest file (``_MANIFEST.json``, rewritten
+    atomically via rename) is the commit pointer listing live version dirs.
+    Reads merge the live dirs; for keyed state the newest version wins per
+    key. Every ``compact_every`` appends the merged state is rewritten as a
+    single ``c{version}`` dir and superseded dirs are garbage-collected, so
+    neither the directory count, the path depth, nor disk usage grows
+    unboundedly. On a production cluster this object is replaced by an
+    Iceberg table (MERGE INTO + snapshot expiry) with identical semantics.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        schema: str,
+        key_cols: list[str] | None = None,
+        compact_every: int = 8,
+    ):
+        self.spark = spark
+        self.dir = os.path.join(root, name)
+        self.schema = schema
+        self.key_cols = key_cols  # None -> append-only set semantics (distinct)
+        self.compact_every = compact_every
+        os.makedirs(self.dir, exist_ok=True)
+
+    # -- manifest -----------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.dir, "_MANIFEST.json")
+
+    def _live(self) -> list[str]:
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)["live"]
+        except FileNotFoundError:
+            return []
+
+    def _commit(self, live: list[str]) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"live": live}, f)
+        os.replace(tmp, self._manifest_path)  # atomic pointer flip
+
+    # -- read / append ------------------------------------------------------
+    def read(self) -> DataFrame:
+        live = self._live()
+        if not live:
+            return self.spark.createDataFrame([], self.schema)
+        df = self.spark.read.parquet(*[os.path.join(self.dir, d) for d in live])
+        if self.key_cols is None:
+            return df.drop("_v").distinct()
+        w = Window.partitionBy(*self.key_cols).orderBy(F.desc("_v"))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_v")
+        )
+
+    def append(self, delta: DataFrame, version: int) -> None:
+        d = f"d{version}"
+        delta.withColumn("_v", F.lit(version)).write.mode("overwrite").parquet(
+            os.path.join(self.dir, d)
+        )
+        live = self._live()
+        if d not in live:  # foreachBatch replay after restart overwrites in place
+            live = live + [d]
+        if len(live) >= self.compact_every:
+            self._commit(live)  # make the delta visible to read()
+            merged = self.read().withColumn("_v", F.lit(version))
+            c = f"c{version}"
+            merged.write.mode("overwrite").parquet(os.path.join(self.dir, c))
+            superseded, live = live, [c]
+            self._commit(live)
+            for old in superseded:  # GC after the pointer flip
+                shutil.rmtree(os.path.join(self.dir, old), ignore_errors=True)
+        else:
+            self._commit(live)
+
+
 class IncrementalER:
     """Maintains (keys, labels) state across micro-batches.
 
-    State lives in two parquet tables (checkpoint semantics identical to the
-    batch job). Used from `foreachBatch` or called directly for tests.
+    State lives in two versioned parquet stores (append + compaction; see
+    DeltaStateStore). Used from `foreachBatch` or called directly for tests.
     """
 
     def __init__(self, spark: SparkSession, state_dir: str, cfg: EngineConfig | None = None):
         self.spark = spark
         self.state_dir = state_dir
         self.cfg = cfg or EngineConfig()
-        self._keys_path = f"{state_dir}/keys"
-        self._labels_path = f"{state_dir}/labels"
-
-    def _read_state(self, path: str, schema: str) -> DataFrame:
-        try:
-            return self.spark.read.parquet(path)
-        except Exception:  # noqa: BLE001 — first batch: empty state
-            return self.spark.createDataFrame([], schema)
+        self._keys = DeltaStateStore(
+            spark, state_dir, "keys", "url string, block_key string", key_cols=None
+        )
+        self._labels = DeltaStateStore(
+            spark, state_dir, "labels", _LABEL_SCHEMA, key_cols=["url"]
+        )
 
     def process_batch(self, pages: DataFrame, batch_id: int = 0) -> DataFrame:
         """Ingest one micro-batch of pages; returns updated labels table."""
@@ -64,8 +152,8 @@ class IncrementalER:
             records.filter(F.col("own_type") != -99), id_col="url",
             class_col="match_bucket",
         )
-        old_keys = self._read_state(self._keys_path, "url string, block_key string")
-        old_labels = self._read_state(self._labels_path, _LABEL_SCHEMA)
+        old_keys = self._keys.read()
+        old_labels = self._labels.read()
 
         # Affected slice must be closed under the OLD partition: a batch key
         # can merge two old clusters, and every member of a merged cluster
@@ -116,21 +204,17 @@ class IncrementalER:
             .join(old_labels.select("url"), "url", "left_anti")
             .withColumn("cluster_id", F.col("url"))
         )
-        merged = (
-            old_labels.join(new_labels.select("url"), "url", "left_anti")
-            .unionByName(relabeled.select(*old_labels.columns))
-            .unionByName(singletons.select(*old_labels.columns))
+        # state deltas only — per-batch write volume is O(batch + affected
+        # slice), never O(corpus); untouched labels persist in older
+        # versions (latest-wins read) until compaction folds them forward
+        label_delta = relabeled.select(*old_labels.columns).unionByName(
+            singletons.select(*old_labels.columns)
         )
-
-        all_keys = old_keys.unionByName(new_keys).distinct()
-        all_keys.write.mode("overwrite").parquet(self._keys_path + f"_v{batch_id}")
-        merged.write.mode("overwrite").parquet(self._labels_path + f"_v{batch_id}")
-        # version flip (atomicity stand-in for Iceberg snapshot commit)
-        self._keys_path = self._keys_path + f"_v{batch_id}"
-        self._labels_path = self._labels_path + f"_v{batch_id}"
+        self._keys.append(new_keys.distinct(), batch_id)
+        self._labels.append(label_delta, batch_id)
         # output view: family/juniors clusters split by address (the batch
         # pipeline applies the same refinement after CC)
-        return refine_clusters_by_address(self.spark.read.parquet(self._labels_path))
+        return refine_clusters_by_address(self._labels.read())
 
     def attach_stream(self, pages_stream: DataFrame, checkpoint: str):
         """Wire into Structured Streaming via foreachBatch."""

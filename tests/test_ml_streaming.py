@@ -16,8 +16,10 @@ from fia_own_map_spark.streaming.ingest import IncrementalER
 
 
 def test_stemmer_semantics():
-    assert preprocess_simple_owner_py("Running Faster!") == "runn fast"
+    # true Porter: running -> run; faster keeps 'er' (m(fast)=1, step4 needs m>1)
+    assert preprocess_simple_owner_py("Running Faster!") == "run faster"
     assert preprocess_simple_owner_py("HOLDINGS, PROPERTIES") == "hold properti"
+    assert preprocess_simple_owner_py("INCORPORATED TRUSTEES") == "incorpor truste"
     assert preprocess_simple_owner_py("") == ""
     # deterministic + idempotent on already-stemmed text
     assert preprocess_simple_owner_py("hold properti") == preprocess_simple_owner_py(
@@ -72,3 +74,52 @@ def test_incremental_ingest_matches_batch(spark, tmp_path):
         return {frozenset(g) for _, g in df.groupby("cluster_id")["url"]}
 
     assert sig(labels_inc) == sig(labels_batch)
+
+
+def test_cascade_classify(spark):
+    """M5 cascade: fast tier verifies easy rows; failures escalate to the
+    medium tier (per-executor singleton), matching the reference's
+    fast->medium validator flow."""
+    from fia_own_map_spark.operators.ml import cascade_classify
+
+    rows = [
+        (0, "the cat and the dog is here", "en"),     # fast verifies
+        (1, "der hund ist nicht der katze", "de"),    # fast verifies
+        (2, "这是一个中文文档 测试文本", "zh"),          # fast fails (und) -> medium zh
+        (3, "zzz qqq xxx", "en"),                     # fast und -> medium 'en' prior
+        (4, "el perro y el gato en la casa", "fr"),   # both miss -> unverified
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in cascade_classify(df).collect()}
+    assert out[0]["tier"] == "fast" and out[0]["verified"] and out[0]["pred"] == "en"
+    assert out[1]["tier"] == "fast" and out[1]["verified"]
+    assert out[2]["tier"] == "medium" and out[2]["verified"] and out[2]["pred"] == "zh"
+    assert out[3]["tier"] == "medium" and out[3]["verified"] and out[3]["pred"] == "en"
+    assert out[4]["tier"] == "medium" and not out[4]["verified"] and out[4]["pred"] == "es"
+
+
+def test_delta_state_store_compaction(spark, tmp_path):
+    """Append-only deltas + latest-wins read + compaction GC (fixed-depth
+    paths; superseded versions deleted)."""
+    import os
+
+    from fia_own_map_spark.streaming.ingest import DeltaStateStore
+
+    store = DeltaStateStore(
+        spark, str(tmp_path), "labels", "url string, cluster_id string",
+        key_cols=["url"], compact_every=3,
+    )
+    store.append(spark.createDataFrame([("a", "c1"), ("b", "c1")], store.schema), 0)
+    store.append(spark.createDataFrame([("b", "c2"), ("c", "c2")], store.schema), 1)
+    got = {r["url"]: r["cluster_id"] for r in store.read().collect()}
+    assert got == {"a": "c1", "b": "c2", "c": "c2"}  # latest wins for b
+    # third append triggers compaction: one live dir, old dirs GC'd
+    store.append(spark.createDataFrame([("a", "c3")], store.schema), 2)
+    assert store._live() == ["c2"]
+    dirs = {d for d in os.listdir(store.dir) if not d.startswith("_")}
+    assert dirs == {"c2"}
+    got = {r["url"]: r["cluster_id"] for r in store.read().collect()}
+    assert got == {"a": "c3", "b": "c2", "c": "c2"}
+    # appends continue after compaction
+    store.append(spark.createDataFrame([("d", "c4")], store.schema), 3)
+    assert {r["url"] for r in store.read().collect()} == {"a", "b", "c", "d"}

@@ -115,9 +115,30 @@ def test_multimodal_plumbing(spark):
     out = multimodal.decode_and_featurize(df, fake=True).toPandas().set_index("media_id")
     assert out.loc["m1", "width"] == 4 and out.loc["m2", "height"] == 2
     assert len(out.loc["m1", "features"]) == 4
-    # real decode is stubbed: must raise, not silently fake
-    with pytest.raises(Exception, match="NotImplementedError|real image decoding"):
-        multimodal.decode_and_featurize(df, fake=False).collect()
+    # library-codec bitstreams (PNG/JPEG) are stubbed: must raise, not fake
+    png = [("p1", b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)]
+    pdf = spark.createDataFrame(pd.DataFrame(png, columns=["media_id", "blob"]))
+    with pytest.raises(Exception, match="NotImplementedError|PNG/JPEG"):
+        multimodal.decode_and_featurize(pdf).collect()
+
+
+def test_multimodal_bmp_real_codec(spark):
+    """BMP is the real decode path: decode -> featurize and decode -> resize
+    -> re-encode roundtrip through Spark binary columns."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img1 = rng.integers(0, 256, size=(6, 10, 3), dtype=np.uint8)
+    img2 = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    blobs = [("b1", multimodal.encode_bmp(img1)), ("b2", multimodal.encode_bmp(img2))]
+    df = spark.createDataFrame(pd.DataFrame(blobs, columns=["media_id", "blob"]))
+    out = multimodal.decode_and_featurize(df).toPandas().set_index("media_id")
+    assert out.loc["b1", "width"] == 10 and out.loc["b1", "height"] == 6
+    assert abs(out.loc["b2", "features"][0] - float(img2.mean())) < 1e-9
+    resized = multimodal.resize_images(df, 4, 4).toPandas().set_index("media_id")
+    back = multimodal.decode_bmp(bytes(resized.loc["b2", "blob"]))
+    assert back.shape == (4, 4, 3)
+    assert (back == multimodal.resize_nearest(img2, 4, 4)).all()
 
 
 def test_classifier_cascade(spark):

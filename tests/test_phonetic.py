@@ -6,7 +6,13 @@ from hypothesis import strategies as st
 
 from fia_own_map_spark.functions.phonetic import double_metaphone
 
-# Canonical outputs of the published Double Metaphone algorithm.
+# Canonical outputs of the published Double Metaphone algorithm (Philips,
+# C/C++ Users Journal 2000). The pip `metaphone` package the reference
+# depends on (`Name_Matching_opt.py:68`) is not installable in this
+# container, so parity is vendored as the widely-published test vectors that
+# circulate with dmetaphone implementations — rule-discriminating cases:
+# Spanish J, CAE-, Italian CH/CCI, Slavic CZ/W, -GH-, SCH-, silent S/G/B,
+# TH voicing, vowel-start handling, ZH, ZZ.
 CANONICAL = {
     "SMITH": ("SM0", "XMT"),
     "SMYTH": ("SM0", "XMT"),
@@ -24,6 +30,47 @@ CANONICAL = {
     "MCDONALD": ("MKTNLT", "MKTNLT"),
     "GALLEGOS": ("KLKS", "KKS"),
     "CABRILLO": ("KPRL", "KPR"),
+    # Spanish / Italian / French contexts
+    "JOSE": ("HS", "HS"),
+    "CAESAR": ("SSR", "SSR"),
+    "CHIANTI": ("KNT", "KNT"),
+    "MICHAEL": ("MKL", "MXL"),
+    "ROGIER": ("RJ", "RJR"),
+    "RESNAIS": ("RSN", "RSNS"),
+    "PIZZA": ("PS", "PTS"),
+    # Slavic / Germanic contexts
+    "CZERNY": ("SRN", "XRN"),
+    "WACHTLER": ("AKTLR", "FKTLR"),
+    "WASSERMAN": ("ASRMN", "FSRMN"),
+    "VASSERMAN": ("FSRMN", "FSRMN"),
+    "ARNOW": ("ARN", "ARNF"),
+    "ZHAO": ("J", "J"),
+    "HOCHMEIER": ("HKMR", "HKMR"),
+    "TICHNER": ("TXNR", "TKNR"),
+    # GH / SCH / silent-letter families
+    "GHOST": ("KST", "KST"),
+    "DOUGHTY": ("TT", "TT"),
+    "SCHOOL": ("SKL", "SKL"),
+    "SCHERER": ("XRR", "SKRR"),
+    "SUGAR": ("XKR", "SKR"),
+    "ISLAND": ("ALNT", "ALNT"),
+    "AGNES": ("AKNS", "ANS"),
+    "THUMB": ("0M", "TM"),
+    "CAMPBELL": ("KMPL", "KMPL"),
+    "RAYMOND": ("RMNT", "RMNT"),
+    # vowel-start / misc
+    "EDGE": ("AJ", "AJ"),
+    "EDGAR": ("ATKR", "ATKR"),
+    "OTTO": ("AT", "AT"),
+    "AUBREY": ("APR", "APR"),
+    "MAURICE": ("MRS", "MRS"),
+    "ACCIDENT": ("AKSTNT", "AKSTNT"),
+    "ACCEDE": ("AKST", "AKST"),
+    "UOMO": ("AM", "AM"),
+    "WOMO": ("AM", "FM"),
+    "THAMES": ("TMS", "TMS"),
+    "ANNA": ("AN", "AN"),
+    "BOB": ("PP", "PP"),
 }
 
 PHONETIC_EQUAL_PAIRS = [

@@ -40,7 +40,7 @@ def test_file_stream_ingest_matches_batch(spark, tmp_path):
     q.awaitTermination(300)
     assert not q.isActive or time.sleep(1) is None
 
-    labels_inc = spark.read.parquet(inc._labels_path)
+    labels_inc = inc._labels.read()
     from fia_own_map_spark.operators.refine import refine_clusters_by_address
 
     labels_inc = refine_clusters_by_address(labels_inc).toPandas()
