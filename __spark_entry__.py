@@ -249,6 +249,16 @@ def q_ann_cosine_topk(spark, sf):
     return ann.cosine_topk(emb, queries, k=10)
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF ANN: seeded-KMeans coarse quantizer, nprobe nearest cells probed
+    per query; rows-only (KMeans training is not SQL-expressible)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ann.ivf_cosine_topk(emb, queries, k=10, n_cells=8, nprobe=3)
+
+
 def q_ann_lsh_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -484,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,                  # rows-only (approx by design)
+        "ann_ivf_topk": q_ann_ivf_topk,                  # rows-only (KMeans quantizer)
         # relational operator parity
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "join_customer_nation_revenue": q_join_customer_nation_revenue,

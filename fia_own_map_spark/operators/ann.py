@@ -3,13 +3,18 @@
   * ``cosine_topk``      — brute-force cosine top-k (baseline): broadcast the
     query set, dot products via native higher-order functions
     (zip_with + aggregate, JVM-side), window top-k per query.
-  * ``lsh_cosine_topk``  — scale path: random-hyperplane LSH. Deterministic
-    seeded planes (broadcast literals), sign-bit bucket, candidates searched
-    within bucket (+ optional multiprobe by flipping one bit).
+  * ``lsh_cosine_topk``  — random-hyperplane LSH: deterministic seeded
+    planes (broadcast literals), sign-bit bucket, candidates searched
+    within bucket.
+  * ``ivf_cosine_topk``  — IVF (inverted-file) index: a seeded KMeans coarse
+    quantizer assigns every corpus vector to a cell (one shuffle, done once
+    and reusable); each query probes its ``nprobe`` nearest centroids and
+    scores only those cells' vectors. The standard recall/throughput dial
+    for billion-vector corpora.
 
 At 100 TB the brute-force path is O(|corpus| x |queries|) and is only correct
-for small query sets with a broadcast side; the LSH path shuffles each corpus
-row once to its bucket and joins bucket-local.
+for small query sets with a broadcast side; the LSH/IVF paths shuffle each
+corpus row once to its cell and join cell-local.
 """
 
 from __future__ import annotations
@@ -87,6 +92,110 @@ def hyperplane_bucket(vec_col: Column | str, planes: list[list[float]]) -> Colum
         for plane in planes
     ]
     return F.concat(*bits)
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Build the IVF coarse quantizer: (corpus + `_cell` column, centroids).
+
+    KMeans (pyspark.ml, seeded) trains the quantizer distributed; assignment
+    is one model.transform — the corpus shuffles once when the caller
+    repartitions/writes by cell. Returns centroids so queries can rank cells
+    driver-side (n_cells is small by construction)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    prepared = corpus.withColumn("_fvec", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_fvec", predictionCol="_cell")
+    model = km.fit(prepared)
+    assigned = model.transform(prepared).drop("_fvec")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def _probe_cells(
+    queries: DataFrame, centroids: list[list[float]], nprobe: int, vec_col: str
+) -> DataFrame:
+    """queries + one row per (query, probed cell): rank centroids by squared
+    L2 distance, keep nprobe — all native exprs (centroids are literals; no
+    driver collect, so the query side can itself be a large table)."""
+    cent = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("cvec"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    dist = lambda cvec, v: F.aggregate(  # noqa: E731
+        F.zip_with(cvec, v, lambda a, b: (a - b.cast("double")) * (a - b.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    with_cells = queries.withColumn(
+        "_probe",
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    cent,
+                    lambda s: F.struct(
+                        dist(s["cvec"], F.col(vec_col)).alias("d"),
+                        s["cell"].alias("cell"),
+                    ),
+                )
+            ),
+            1,
+            nprobe,
+        ),
+    )
+    return with_cells.select(
+        *queries.columns, F.explode(F.col("_probe").getField("cell")).alias("_cell")
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    indexed: DataFrame | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF top-k: exact cosine within each query's nprobe nearest cells.
+
+    Pass a prebuilt (indexed, centroids) pair to amortize the quantizer
+    across query batches — at production scale the assigned corpus is a
+    partitioned/bucketed table written once. Cell ranking happens
+    distributed on the query side (centroids are broadcast literals — no
+    driver collect), exploding to (query, cell) rows (|queries| x nprobe),
+    so the corpus is never shuffled at query time; recall < 1 by
+    construction (cell misses), increasing with nprobe."""
+    if indexed is None or centroids is None:
+        indexed, centroids = ivf_index(corpus, n_cells, seed, id_col, vec_col)
+    q = _probe_cells(
+        queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
+        centroids,
+        nprobe,
+        "_qvec",
+    )
+    scored = indexed.join(F.broadcast(q), "_cell").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def lsh_cosine_topk(

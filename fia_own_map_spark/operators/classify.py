@@ -156,7 +156,16 @@ def classify_own_type(
     (`Classify_Unknowns_opt.py:246-661` — trusts -> farms -> 42 -> religious
     -> 43 (minus GOLF/WORLDMARK) -> USA/gov (minus corp-like) -> family ->
     corp -> residual; then gov subclassification federal -> local -> state ->
-    leftover local)."""
+    leftover local).
+
+    Note on codegen: this CASE is large enough that whole-stage codegen of
+    the stage containing it exceeds the JVM's 64 KB method limit; Spark logs
+    an InternalCompilerException and falls back to interpreted evaluation
+    for that stage (spark.sql.codegen.fallback, on by default). That is the
+    intended behavior, not an error: the stage's cost is dominated by the
+    java.util.regex matching itself, which is identical compiled or
+    interpreted, so splitting the cascade into codegen-sized pieces would
+    add projection barriers without measurable gain."""
     c1 = F.coalesce(F.col(own1), F.lit(""))
     c2 = F.coalesce(F.col(own2), F.lit(""))
     both = F.concat_ws(" ", c1, c2)

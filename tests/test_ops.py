@@ -160,3 +160,37 @@ def test_classifier_cascade(spark):
     got = classify_own_type(sdf, "owner1", "owner2").select("owner1", "own_type", "want").toPandas()
     for _, r in got.iterrows():
         assert r["own_type"] == r["want"], (r["owner1"], r["own_type"], r["want"])
+
+
+def test_ann_ivf_recall(spark):
+    """IVF probes nprobe nearest cells; recall@k vs the brute-force baseline
+    must be high on a clusterable fixture and the index must be reusable."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((4, 8)) * 3
+    rows = []
+    for i in range(200):
+        c = i % 4
+        v = centers[c] + rng.standard_normal(8) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = ann.cosine_topk(emb, queries, k=5).toPandas()
+    indexed, cents = ann.ivf_index(emb, n_cells=8)
+    approx = ann.ivf_cosine_topk(
+        emb, queries, k=5, nprobe=3, indexed=indexed, centroids=cents
+    ).toPandas()
+    hits = 0
+    for q in range(5):
+        e = set(exact[exact.query_id == q]["vec_id"])
+        a = set(approx[approx.query_id == q]["vec_id"])
+        hits += len(e & a)
+    recall = hits / (5 * 5)
+    assert recall >= 0.8, recall
+    # self-hit must rank first (cosine 1.0)
+    for q in range(5):
+        sub = approx[approx.query_id == q]
+        assert sub[sub["rank"] == 1]["vec_id"].iloc[0] == q
