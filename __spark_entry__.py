@@ -94,8 +94,11 @@ def q_er_cluster_documents(spark, sf):
         F.col("doc_id").cast("string").alias("url"),
         F.split(_doc_name(4), " ").alias("tokens"),
     )
-    docs = docs.withColumn("name_keys", normalized_name_keys("tokens"))
-    keys = exploded_metaphone_keys(docs, id_col="url")
+    # persist: docs feeds both the key derivation and the CC vertex set;
+    # keys feeds both sides of star_edges (hub groupBy + member join) —
+    # without it the metaphone UDF projection recomputes per consumer
+    docs = docs.withColumn("name_keys", normalized_name_keys("tokens")).persist()
+    keys = exploded_metaphone_keys(docs, id_col="url").persist()
     edges = star_edges(keys, "url")
     labels = connected_components(
         edges, vertices=docs.select(F.col("url").alias("id")), id_col="id",
@@ -113,7 +116,7 @@ def q_er_cluster_fingerprint(spark, sf):
     docs = _t(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("url"),
         F.split(_doc_name(4), " ").alias("tokens"),
-    )
+    ).persist()  # feeds keys + CC vertices
     keys = docs.select(
         "url",
         F.explode(
@@ -122,7 +125,7 @@ def q_er_cluster_fingerprint(spark, sf):
                 F.concat(F.lit("t1:"), F.col("tokens")[0]),
             )
         ).alias("block_key"),
-    )
+    ).persist()  # feeds both sides of star_edges
     edges = star_edges(keys, "url")
     labels = connected_components(
         edges, vertices=docs.select(F.col("url").alias("id")), id_col="id",

@@ -55,6 +55,8 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 def word_shingles(text_col: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles of the normalized text (native HOFs)."""
     toks = F.split(normalized_text(text_col), " ")
+    if k == 1:  # unigram shingles are just the distinct tokens — skip the
+        return F.array_distinct(toks)  # per-index slice/join expression tree
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
     return F.when(n >= k, F.array_distinct(
@@ -140,10 +142,15 @@ def minhash_lsh_pairs(
         F.explode(lsh_bands("sig", n_bands, rows_per_band, hash_family)).alias("band"),
     )
     w_band = Window.partitionBy("band")
+    # persist: this table feeds the band-size window AND both sides of the
+    # self-join — without it the whole shingle+signature projection is
+    # recomputed (and re-codegen'd) three times. At production scale this
+    # intermediate is checkpointed to a table instead.
     banded = (
         banded.withColumn("_bsz", F.count(F.lit(1)).over(w_band))
         .filter(F.col("_bsz") <= max_bucket_size)
         .drop("_bsz")
+        .persist()
     )
     left = banded.select(
         F.col("band"), F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
