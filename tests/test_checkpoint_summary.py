@@ -61,3 +61,29 @@ def test_summary_ops(spark):
 
     df3 = to_final_schema(df2, {"url": "record_id"}, ["record_id", "cluster_id", "extra_flag"])
     assert df3.columns == ["record_id", "cluster_id", "extra_flag"]
+
+
+def test_snapshot_history_timetravel_rollback(spark, tmp_path):
+    """Iceberg-model semantics: immutable snapshots, time travel, rollback,
+    expiry keeps the current pointer valid."""
+    store = CheckpointStore(str(tmp_path), "job")
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    df2 = spark.createDataFrame([(2, "b"), (3, "c")], "id long, v string")
+    m1 = store.write("s", df1)
+    assert m1["snapshot_id"] == 0 and m1["rows_out"] == 1
+    store.invalidate("s")
+    m2 = store.write("s", df2)
+    assert m2["snapshot_id"] == 1 and m2["rows_out"] == 2
+    # current = snapshot 1; time travel to 0
+    assert store.read(spark, "s").count() == 2
+    assert store.read(spark, "s", snapshot_id=0).count() == 1
+    assert [s["snapshot_id"] for s in store.history("s")] == [0, 1]
+    # rollback -> snapshot 0 is current again
+    store.rollback("s", 0)
+    assert store.read(spark, "s").count() == 1
+    assert store.read_metrics("s")["snapshot_id"] == 0
+    # expiry keeps current (0) even though it is older
+    store.rollback("s", 0)
+    expired = store.expire_snapshots("s", keep=1)
+    assert 0 not in expired
+    assert store.read(spark, "s").count() == 1
