@@ -202,13 +202,23 @@ def jaro_winkler_batch(
     nv = len(va)
     n1 = np.fromiter(map(len, va), dtype=np.int64, count=nv)
     n2 = np.fromiter(map(len, vb), dtype=np.int64, count=nv)
-    order = np.argsort(np.maximum(n1, n2), kind="stable")
     res = np.empty(nv)
-    for s in range(0, nv, chunk):
-        idx = order[s : s + chunk]
-        res[idx] = _jw_chunk(
-            va[idx], vb[idx], n1[idx], n2[idx], prefix_scale, boost_threshold
-        )
+    # fast path: identical strings score exactly 1.0 (0.0 for ''=='' — the
+    # strcmp95 empty convention); blocked candidate pairs repeat names
+    # heavily, so this commonly covers half the batch
+    eq = va == vb
+    res[eq] = np.where(n1[eq] > 0, 1.0, 0.0)
+    ne = ~eq
+    if ne.any():
+        va, vb, n1n, n2n = va[ne], vb[ne], n1[ne], n2[ne]
+        sub = np.empty(len(va))
+        order = np.argsort(np.maximum(n1n, n2n), kind="stable")
+        for s in range(0, len(va), chunk):
+            idx = order[s : s + chunk]
+            sub[idx] = _jw_chunk(
+                va[idx], vb[idx], n1n[idx], n2n[idx], prefix_scale, boost_threshold
+            )
+        res[ne] = sub
     out[valid] = res
     return out
 
@@ -271,18 +281,25 @@ def levenshtein_batch(a: np.ndarray, b: np.ndarray, chunk: int = 1024) -> np.nda
     padded matrices tight.
     """
     n = len(a)
-    la = np.fromiter(map(len, a), dtype=np.int64, count=n)
-    lb = np.fromiter(map(len, b), dtype=np.int64, count=n)
+    res = np.zeros(n, dtype=np.int64)
+    ne = a != b  # identical strings have distance 0 — common in blocked pairs
+    if not ne.any():
+        return res
+    a, b = a[ne], b[ne]
+    m = len(a)
+    la = np.fromiter(map(len, a), dtype=np.int64, count=m)
+    lb = np.fromiter(map(len, b), dtype=np.int64, count=m)
     swap = lb > la
     if swap.any():
         a, b = a.copy(), b.copy()
         a[swap], b[swap] = b[swap], a[swap]
         la, lb = np.maximum(la, lb), np.minimum(la, lb)
     order = np.argsort(la, kind="stable")
-    res = np.empty(n, dtype=np.int64)
-    for s in range(0, n, chunk):
+    sub = np.empty(m, dtype=np.int64)
+    for s in range(0, m, chunk):
         idx = order[s : s + chunk]
-        res[idx] = _lev_chunk(a[idx], b[idx], la[idx], lb[idx])
+        sub[idx] = _lev_chunk(a[idx], b[idx], la[idx], lb[idx])
+    res[ne] = sub
     return res
 
 
@@ -293,7 +310,11 @@ def _jaccard_tokens_py(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     n = len(a)
     out = np.empty(n)
     for i in range(n):
-        sa, sb = set(a[i].split(" ")), set(b[i].split(" "))
+        x, y = a[i], b[i]
+        if x == y:  # identical strings -> identical token sets -> exactly 1.0
+            out[i] = 1.0
+            continue
+        sa, sb = set(x.split(" ")), set(y.split(" "))
         u = len(sa | sb)
         out[i] = 1.0 if u == 0 else len(sa & sb) / u
     return out
