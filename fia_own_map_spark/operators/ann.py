@@ -118,12 +118,44 @@ def ivf_index(
     return assigned, centroids
 
 
+# above this many centroid literal values, cell probing switches from a
+# plan-embedded literal array to a broadcast centroid-table join
+_PROBE_LITERAL_LIMIT = 200_000
+
+
 def _probe_cells(
     queries: DataFrame, centroids: list[list[float]], nprobe: int, vec_col: str
 ) -> DataFrame:
     """queries + one row per (query, probed cell): rank centroids by squared
     L2 distance, keep nprobe — all native exprs (centroids are literals; no
-    driver collect, so the query side can itself be a large table)."""
+    driver collect, so the query side can itself be a large table).
+
+    Large quantizers (n_cells x dim beyond ~200k literal values) would bloat
+    the plan; those route through a broadcast centroid-table join + window
+    rank instead (one extra shuffle of |queries| x n_cells slim rows)."""
+    if len(centroids) * len(centroids[0]) > _PROBE_LITERAL_LIMIT:
+        spark = queries.sparkSession
+        cdf = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "_cell int, _cvec array<double>",
+        )
+        dist = F.aggregate(
+            F.zip_with(
+                "_cvec",
+                F.col(vec_col).cast("array<double>"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy(queries.columns[0]).orderBy("_d", "_cell")
+        return (
+            queries.crossJoin(F.broadcast(cdf))
+            .withColumn("_d", dist)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= nprobe)
+            .select(*queries.columns, "_cell")
+        )
     cent = F.array(
         *[
             F.struct(

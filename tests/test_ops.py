@@ -194,3 +194,27 @@ def test_ann_ivf_recall(spark):
     for q in range(5):
         sub = approx[approx.query_id == q]
         assert sub[sub["rank"] == 1]["vec_id"].iloc[0] == q
+
+
+def test_ann_ivf_big_quantizer_join_path(spark, monkeypatch):
+    """The broadcast-join probing path (big quantizers) must return the same
+    cells as the literal-array path."""
+    from fia_own_map_spark.operators import ann as annmod
+
+    rng = np.random.default_rng(9)
+    rows = [(i, [float(x) for x in rng.standard_normal(6)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    indexed, cents = annmod.ivf_index(emb, n_cells=6)
+    lit = annmod.ivf_cosine_topk(emb, queries, k=4, nprobe=2,
+                                 indexed=indexed, centroids=cents).toPandas()
+    monkeypatch.setattr(annmod, "_PROBE_LITERAL_LIMIT", 1)
+    joined = annmod.ivf_cosine_topk(emb, queries, k=4, nprobe=2,
+                                    indexed=indexed, centroids=cents).toPandas()
+    key = ["query_id", "rank"]
+    pd.testing.assert_frame_equal(
+        lit.sort_values(key).reset_index(drop=True),
+        joined.sort_values(key).reset_index(drop=True),
+    )
