@@ -427,6 +427,30 @@ def q_window_sum_value_per_user(spark, sf):
     )
 
 
+def q_sessionize_events(spark, sf):
+    """Gap-based sessionization (30-min inactivity closes a session):
+    lag -> new-session flag -> running sum = session id -> per-session aggs.
+    The standard event-stream session operator, fully window-expressible."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ timestamps can't cast to long directly; epoch via timestamp. The
+    # session-timezone offset cancels in the gap difference.
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    sess = e.withColumn("session_id", F.sum(new_sess).over(w))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
 def q_encode_pack_lineitem(spark, sf):
     """F19 (`Map_Data_opt.py:67`): integer code packing `a*100 + b`."""
     li = _t(spark, sf, "lineitem")
@@ -512,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_recode_events": q_case_recode_events,
         "events_hourly": q_events_hourly,
         "window_sum_value_per_user": q_window_sum_value_per_user,
+        "sessionize_events": q_sessionize_events,
         "encode_pack_lineitem": q_encode_pack_lineitem,
         "lut_recode_nation": q_lut_recode_nation,
         "initial_class_parts": q_initial_class_parts,
@@ -783,6 +808,28 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) OVER (PARTITION BY user_id), 4) AS user_total_value,
                    count(*) OVER (PARTITION BY user_id) AS user_n_events
             FROM events
+        """,
+        "sessionize_events": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                               OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            numbered AS (
+              SELECT user_id, ts, value,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         AS session_id
+              FROM flagged)
+            SELECT user_id, session_id,
+                   count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   round(sum(value), 4) AS total_value
+            FROM numbered
+            GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
         """,
         "encode_pack_lineitem": """
             SELECT l_orderkey, l_linenumber,
