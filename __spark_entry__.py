@@ -427,6 +427,35 @@ def q_window_sum_value_per_user(spark, sf):
     )
 
 
+def q_asof_last_click(spark, sf):
+    """Backward as-of join: each purchase event gets the same user's most
+    recent click at-or-before it (union-sort window implementation — one
+    shuffle, no range-join blow-up). Oracle: DuckDB's native ASOF JOIN."""
+    from fia_own_map_spark.operators.asof import asof_join
+
+    e = _t(spark, sf, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("click_id"),
+            F.max_by("value", "event_id").alias("click_value"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(purchases, clicks, ["user_id"], "ts", "ts",
+                    ["click_id", "click_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "click_id",
+        F.round("click_value", 4).alias("click_value"),
+    ).orderBy("event_id")
+
+
 def q_sessionize_events(spark, sf):
     """Gap-based sessionization (30-min inactivity closes a session):
     lag -> new-session flag -> running sum = session id -> per-session aggs.
@@ -537,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "window_sum_value_per_user": q_window_sum_value_per_user,
         "sessionize_events": q_sessionize_events,
+        "asof_last_click": q_asof_last_click,
         "encode_pack_lineitem": q_encode_pack_lineitem,
         "lut_recode_nation": q_lut_recode_nation,
         "initial_class_parts": q_initial_class_parts,
@@ -808,6 +838,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) OVER (PARTITION BY user_id), 4) AS user_total_value,
                    count(*) OVER (PARTITION BY user_id) AS user_n_events
             FROM events
+        """,
+        "asof_last_click": """
+            WITH c AS (SELECT user_id, ts, max(event_id) AS click_id,
+                              max_by(value, event_id) AS click_value
+                       FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+            p AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase')
+            SELECT p.event_id, p.user_id,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                   c.click_id, round(c.click_value, 4) AS click_value
+            FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+            ORDER BY p.event_id
         """,
         "sessionize_events": """
             WITH flagged AS (

@@ -218,3 +218,29 @@ def test_ann_ivf_big_quantizer_join_path(spark, monkeypatch):
         lit.sort_values(key).reset_index(drop=True),
         joined.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_asof_join_semantics(spark):
+    """Backward inclusive as-of: equal timestamps match; rows before any
+    right row get nulls; latest-not-future right row wins."""
+    from datetime import datetime
+
+    from fia_own_map_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10), 100), (1, datetime(2024, 1, 1, 12), 200),
+         (2, datetime(2024, 1, 1, 11), 300)],
+        "k long, ts timestamp, rv long",
+    )
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 9), "before-any"),
+         (1, datetime(2024, 1, 1, 10), "tie-inclusive"),
+         (1, datetime(2024, 1, 1, 11, 30), "between"),
+         (1, datetime(2024, 1, 1, 13), "after-all"),
+         (3, datetime(2024, 1, 1, 13), "no-right-key")],
+        "k long, ts timestamp, tag string",
+    )
+    got = {r["tag"]: r["rv"] for r in
+           asof_join(left, right, ["k"], "ts", "ts", ["rv"]).collect()}
+    assert got == {"before-any": None, "tie-inclusive": 100, "between": 100,
+                   "after-all": 200, "no-right-key": None}
