@@ -456,6 +456,35 @@ def q_asof_last_click(spark, sf):
     ).orderBy("event_id")
 
 
+def q_range_clicks_before_purchase(spark, sf):
+    """Keyed range join: clicks within the hour before each purchase,
+    executed as a bin-bucketed equi-join (operators/asof.py) instead of the
+    quadratic inequality join Spark would otherwise plan."""
+    from fia_own_map_spark.operators.asof import point_in_interval_join
+
+    e = _t(spark, sf, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id",
+        (epoch - 3600).alias("lo"), epoch.alias("hi"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", epoch.alias("c_epoch")
+    )
+    matched = point_in_interval_join(
+        clicks, purchases, ["user_id"], "c_epoch", "lo", "hi", bin_width=3600
+    )
+    counts = matched.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_prev_hour")
+    )
+    return (
+        purchases.select("event_id", "user_id")
+        .join(counts, "event_id", "left")
+        .na.fill(0, ["n_clicks_prev_hour"])
+        .orderBy("event_id")
+    )
+
+
 def q_sessionize_events(spark, sf):
     """Gap-based sessionization (30-min inactivity closes a session):
     lag -> new-session flag -> running sum = session id -> per-session aggs.
@@ -567,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_sum_value_per_user": q_window_sum_value_per_user,
         "sessionize_events": q_sessionize_events,
         "asof_last_click": q_asof_last_click,
+        "range_clicks_before_purchase": q_range_clicks_before_purchase,
         "encode_pack_lineitem": q_encode_pack_lineitem,
         "lut_recode_nation": q_lut_recode_nation,
         "initial_class_parts": q_initial_class_parts,
@@ -838,6 +868,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) OVER (PARTITION BY user_id), 4) AS user_total_value,
                    count(*) OVER (PARTITION BY user_id) AS user_n_events
             FROM events
+        """,
+        "range_clicks_before_purchase": """
+            WITH p AS (SELECT event_id, user_id, epoch(ts) - 3600 AS lo, epoch(ts) AS hi
+                       FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, epoch(ts) AS ce FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, count(c.ce) AS n_clicks_prev_hour
+            FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ce >= p.lo AND c.ce <= p.hi
+            GROUP BY 1, 2 ORDER BY 1
         """,
         "asof_last_click": """
             WITH c AS (SELECT user_id, ts, max(event_id) AS click_id,

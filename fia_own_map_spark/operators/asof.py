@@ -21,6 +21,41 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_cols: list[str],
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Range join (point-in-interval, inclusive bounds) via bin bucketing.
+
+    Spark executes a raw inequality join as a broadcast-nested-loop —
+    quadratic per key. Instead: intervals explode to the bins they cover,
+    points map to their single bin, and the match becomes an equi-join on
+    (keys, bin) + an exact bound filter. Cost is linear in points plus
+    intervals x bins-per-interval; pick ``bin_width`` near the typical
+    interval length so that factor stays ~2. No dedup needed: a point has
+    exactly one bin, and an interval appears once per bin."""
+    pb = points.withColumn("_bin", F.floor(F.col(point_col) / F.lit(bin_width)))
+    ib = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bin_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, [*key_cols, "_bin"])
+        .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col)))
+        .drop("_bin")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
