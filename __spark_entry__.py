@@ -96,9 +96,15 @@ def q_er_cluster_documents(spark, sf):
     )
     # persist: docs feeds both the key derivation and the CC vertex set;
     # keys feeds both sides of star_edges (hub groupBy + member join) —
-    # without it the metaphone UDF projection recomputes per consumer
-    docs = docs.withColumn("name_keys", normalized_name_keys("tokens")).persist()
-    keys = exploded_metaphone_keys(docs, id_col="url").persist()
+    # without it the metaphone UDF projection recomputes per consumer.
+    # swap_cached releases the previous invocation's copies (no session leak).
+    docs = dedup.swap_cached(
+        "er_cluster_documents:docs",
+        docs.withColumn("name_keys", normalized_name_keys("tokens")),
+    )
+    keys = dedup.swap_cached(
+        "er_cluster_documents:keys", exploded_metaphone_keys(docs, id_col="url")
+    )
     edges = star_edges(keys, "url")
     labels = connected_components(
         edges, vertices=docs.select(F.col("url").alias("id")), id_col="id",
@@ -113,19 +119,25 @@ def q_er_cluster_fingerprint(spark, sf):
     keys (sorted-token fingerprint + first token) so the driver can value-
     check the full blocking -> star-edges -> connected-components path via a
     DuckDB recursive CTE (the metaphone-key variant stays rows-only)."""
-    docs = _t(spark, sf, "documents").select(
-        F.col("doc_id").cast("string").alias("url"),
-        F.split(_doc_name(4), " ").alias("tokens"),
-    ).persist()  # feeds keys + CC vertices
-    keys = docs.select(
-        "url",
-        F.explode(
-            F.array(
-                F.concat(F.lit("fp:"), F.array_join(F.array_sort("tokens"), "")),
-                F.concat(F.lit("t1:"), F.col("tokens")[0]),
-            )
-        ).alias("block_key"),
-    ).persist()  # feeds both sides of star_edges
+    docs = dedup.swap_cached(  # feeds keys + CC vertices
+        "er_cluster_fingerprint:docs",
+        _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.split(_doc_name(4), " ").alias("tokens"),
+        ),
+    )
+    keys = dedup.swap_cached(  # feeds both sides of star_edges
+        "er_cluster_fingerprint:keys",
+        docs.select(
+            "url",
+            F.explode(
+                F.array(
+                    F.concat(F.lit("fp:"), F.array_join(F.array_sort("tokens"), "")),
+                    F.concat(F.lit("t1:"), F.col("tokens")[0]),
+                )
+            ).alias("block_key"),
+        ),
+    )
     edges = star_edges(keys, "url")
     labels = connected_components(
         edges, vertices=docs.select(F.col("url").alias("id")), id_col="id",
@@ -899,7 +911,7 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             numbered AS (
               SELECT user_id, ts, value,
-                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT
                          AS session_id
               FROM flagged)
             SELECT user_id, session_id,

@@ -6,8 +6,8 @@ For each left row, attach the most recent right row with the same key and
 
 Scale design: the naive formulation is a range join (|L| x |R| blow-up per
 key before filtering). This implementation is the union-sort trick instead:
-tag the sides, union on (key, ts), and carry right values forward with
-``last(ignorenulls)`` over an ordered window — ONE shuffle on the key, no
+tag the sides, union on (key, ts), and carry the right ROW (one struct)
+forward with ``last(ignorenulls)`` over an ordered window — ONE shuffle, no
 pair materialization, cost O((|L|+|R|) log) per key group. Ties at equal ts
 order the right row first, which yields the inclusive (<=) match.
 
@@ -69,7 +69,14 @@ def asof_join(
     lt = left.withColumn("_t", F.col(left_ts)).withColumn("_side", F.lit(1))
     rt = (
         right.select(
-            *key_cols, F.col(right_ts).alias("_t"), *right_value_cols
+            *key_cols,
+            F.col(right_ts).alias("_t"),
+            # Pack the right row's values into ONE struct so the forward
+            # carry tracks whole rows: a matched right row whose own value
+            # is NULL stays NULL instead of inheriting an older non-null
+            # value (last(col, ignorenulls) per-column would conflate
+            # "no right row yet" with "right value is NULL").
+            F.struct(*right_value_cols).alias("_rv"),
         ).withColumn("_side", F.lit(0))
     )
     u = lt.unionByName(rt, allowMissingColumns=True)
@@ -78,6 +85,7 @@ def asof_join(
         .orderBy("_t", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    u = u.withColumn("_rv", F.last("_rv", ignorenulls=True).over(w))
     for v in right_value_cols:
-        u = u.withColumn(v, F.last(v, ignorenulls=True).over(w))
-    return u.filter(F.col("_side") == 1).drop("_t", "_side")
+        u = u.withColumn(v, F.col("_rv")[v])
+    return u.filter(F.col("_side") == 1).drop("_t", "_side", "_rv")

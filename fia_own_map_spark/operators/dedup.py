@@ -27,6 +27,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
+# One cached intermediate per operator, swapped on re-invocation: persisting
+# inside a lazily-returned DataFrame means the callee can't unpersist before
+# the caller materializes, so instead each NEW call releases the PREVIOUS
+# call's cache. Bounds executor-memory growth at one table per op for the
+# session lifetime (unpersisting early only costs a recompute, never
+# correctness).
+_live_cache: dict[str, DataFrame] = {}
+
+
+def swap_cached(key: str, df: DataFrame) -> DataFrame:
+    """Persist df under key, unpersisting whatever held the key before."""
+    prev = _live_cache.get(key)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:  # session may be gone; nothing to release
+            pass
+    _live_cache[key] = df.persist()
+    return _live_cache[key]
+
 
 def normalized_text(col: Column | str) -> Column:
     """Whitespace/case-normalized view of the text for content hashing."""
@@ -145,12 +165,13 @@ def minhash_lsh_pairs(
     # persist: this table feeds the band-size window AND both sides of the
     # self-join — without it the whole shingle+signature projection is
     # recomputed (and re-codegen'd) three times. At production scale this
-    # intermediate is checkpointed to a table instead.
-    banded = (
+    # intermediate is checkpointed to a table instead. swap_cached releases
+    # the previous invocation's copy so repeated calls don't leak.
+    banded = swap_cached(
+        f"minhash_banded:{hash_family}",
         banded.withColumn("_bsz", F.count(F.lit(1)).over(w_band))
         .filter(F.col("_bsz") <= max_bucket_size)
-        .drop("_bsz")
-        .persist()
+        .drop("_bsz"),
     )
     left = banded.select(
         F.col("band"), F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")

@@ -165,7 +165,8 @@ class CheckpointStore:
         expire_snapshots maintenance action."""
         manifest = self._manifest(stage)
         snaps = sorted(manifest["snapshots"], key=lambda s: s["snapshot_id"])
-        keep_ids = {s["snapshot_id"] for s in snaps[-keep:]}
+        # snaps[-0:] would keep EVERYTHING; keep=0 means "current only"
+        keep_ids = {s["snapshot_id"] for s in (snaps[-keep:] if keep > 0 else [])}
         if manifest["current"] is not None:
             keep_ids.add(manifest["current"])
         expired = [s["snapshot_id"] for s in snaps if s["snapshot_id"] not in keep_ids]

@@ -87,3 +87,12 @@ def test_snapshot_history_timetravel_rollback(spark, tmp_path):
     expired = store.expire_snapshots("s", keep=1)
     assert 0 not in expired
     assert store.read(spark, "s").count() == 1
+    # keep=0 means "current only" — snaps[-0:] must not keep everything
+    df3 = spark.createDataFrame([(4, "d")], "id long, v string")
+    store.invalidate("s")
+    store.write("s", df3)
+    expired0 = store.expire_snapshots("s", keep=0)
+    assert expired0, "keep=0 expired nothing (snaps[-0:] bug)"
+    assert [s["snapshot_id"] for s in store.history("s")] == [
+        store.read_metrics("s")["snapshot_id"]
+    ]

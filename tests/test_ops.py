@@ -244,3 +244,25 @@ def test_asof_join_semantics(spark):
            asof_join(left, right, ["k"], "ts", "ts", ["rv"]).collect()}
     assert got == {"before-any": None, "tie-inclusive": 100, "between": 100,
                    "after-all": 200, "no-right-key": None}
+
+
+def test_asof_join_preserves_matched_nulls(spark):
+    """A matched right row whose own value is NULL must stay NULL — not
+    inherit an older non-null value (ADVICE r2: struct-carry semantics,
+    matching DuckDB/pandas ASOF JOIN)."""
+    from datetime import datetime
+
+    from fia_own_map_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10), 100), (1, datetime(2024, 1, 1, 12), None)],
+        "k long, ts timestamp, rv long",
+    )
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 11), "hits-100"),
+         (1, datetime(2024, 1, 1, 13), "hits-null-row")],
+        "k long, ts timestamp, tag string",
+    )
+    got = {r["tag"]: r["rv"] for r in
+           asof_join(left, right, ["k"], "ts", "ts", ["rv"]).collect()}
+    assert got == {"hits-100": 100, "hits-null-row": None}

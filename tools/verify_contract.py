@@ -36,6 +36,26 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
+def _kind(dtype) -> str:
+    """Coarse dtype kind used for the dtype gate: int / float / other."""
+    s = str(dtype)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    return "other"
+
+
+def _cell(v) -> str:
+    """Canonical string form of a cell, mimicking the driver's value-hash
+    input: the stringified pandas value.  int 1 -> '1', float 1.0 -> '1.0',
+    so an int-vs-float divergence between engines FAILS here just as it
+    fails the driver's md5 compare (VERDICT r2 'what's wrong' #1)."""
+    if not isinstance(v, (tuple, list, np.ndarray)) and pd.isna(v):
+        return "<null>"
+    return str(v)
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(spark_df.columns) != sorted(duck_df.columns):
@@ -47,20 +67,27 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c], b[c]
-            if str(av.dtype).startswith("float") or str(bv.dtype).startswith("float"):
-                ok = np.allclose(
-                    av.astype(float).fillna(np.nan),
-                    bv.astype(float).fillna(np.nan),
-                    rtol=0, atol=1.5e-6, equal_nan=True,
+            ka, kb = _kind(av.dtype), _kind(bv.dtype)
+            # The driver hashes stringified values, so int64 '1' vs float64
+            # '1.0' is a hash mismatch even when numerically identical.
+            # Exception: an all-null column may surface as float NaN on one
+            # side only; the string canon below handles that.
+            if {ka, kb} == {"int", "float"} and not (
+                av.isna().all() or bv.isna().all()
+            ):
+                problems.append(
+                    f"dtype[{c}]: spark={av.dtype} duck={bv.dtype} "
+                    "(int-vs-float stringifies differently; driver hash would fail)"
                 )
-            else:
-                ok = av.astype(str).equals(bv.astype(str))
-            if not ok:
-                mism = (av.astype(str) != bv.astype(str)).to_numpy().nonzero()[0][:3]
+                continue
+            sa = av.map(_cell)
+            sb = bv.map(_cell)
+            mism = (sa != sb).to_numpy().nonzero()[0][:3]
+            if len(mism):
                 problems.append(
                     f"values[{c}]: first mismatches at {mism.tolist()} "
-                    f"spark={av.iloc[mism].tolist() if len(mism) else '?'} "
-                    f"duck={bv.iloc[mism].tolist() if len(mism) else '?'}"
+                    f"spark={av.iloc[mism].tolist()} "
+                    f"duck={bv.iloc[mism].tolist()}"
                 )
     return problems
 
