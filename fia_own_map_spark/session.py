@@ -43,6 +43,17 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Coalesce by DATA SIZE, not core count: with the default
+        # parallelismFirst=true AQE keeps ~one (tiny) partition per core, so
+        # doubling cores doubles the per-task fixed costs (scheduling, python
+        # worker Arrow streams, output files) of every small shuffle — the
+        # measured cause of the full-ER-job anti-scaling from 8 to 32 cores
+        # at the 200k-page bench size. Partition count now follows input
+        # bytes (identical at every core count); compute-bound pre-UDF paths
+        # keep full parallelism via their explicit repartition (scoring.py).
+        # Spark's own docs recommend parallelismFirst=false in production.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
         # Arrow for pandas UDFs / toPandas — the only Python hot path allowed.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
