@@ -7,11 +7,21 @@ as Arrow-batched ``mapInPandas`` over the blob column (the Spark-side shape
 Codecs in this container:
   * ``bmp``  — REAL decoder/encoder for 24-bit uncompressed BMP (pure byte
     parsing, no external libs): decode -> numpy (h, w, 3), nearest-neighbor
-    resize, channel statistics. This is the tested real path.
+    resize, channel statistics.
+  * ``png``  — REAL decoder/encoder (stdlib ``zlib`` inflate + vectorized
+    scanline unfiltering, no external libs): color types 0/2/3/4/6, bit
+    depths 1/2/4/8, non-interlaced. Differential-tested against the JVM's
+    independent ``javax.imageio`` decoder on real OS PNG files
+    (tests/test_ops.py). 16-bit and Adam7 interlace raise
+    NotImplementedError.
+  * ``jpeg`` — REAL decoder for baseline sequential JPEG (pure numpy
+    Huffman + dequant + separable IDCT + chroma upsample; see ``jpeg.py``),
+    differential-tested against javax.imageio / libjpeg within the T.81
+    conformance tolerance. Progressive/arithmetic raise NotImplementedError.
   * ``fake`` — deterministic synthetic blob (``b"IMG|w|h|payload"``) for
     plumbing tests.
-  * PNG/JPEG/audio/video bitstreams — STUBBED with NotImplementedError: real
-    deployments drop PIL/ffmpeg into ``_decode``; nothing else changes.
+  * audio/video bitstreams — STUBBED with NotImplementedError: real
+    deployments drop ffmpeg into ``_decode``; nothing else changes.
 
 Blob auto-detection by magic bytes (``codec="auto"``).
 """
@@ -19,6 +29,7 @@ Blob auto-detection by magic bytes (``codec="auto"``).
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -97,6 +108,197 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# real codec: PNG (RFC 2083 / ISO 15948) — stdlib zlib + numpy unfiltering
+# ---------------------------------------------------------------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (palette expands after unfiltering)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(blob: bytes) -> Iterator[tuple[bytes, bytes]]:
+    pos = 8
+    while pos + 8 <= len(blob):
+        length, ctype = struct.unpack_from(">I4s", blob, pos)
+        data = blob[pos + 8 : pos + 8 + length]
+        yield ctype, data
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IEND":
+            return
+
+
+def _unpack_bits(raw: np.ndarray, bit_depth: int, width: int, samples: int) -> np.ndarray:
+    """Sub-byte samples (bit depth 1/2/4) -> one uint8 sample per entry.
+    ``raw`` is (h, rowbytes); returns (h, width*samples)."""
+    if bit_depth == 8:
+        return raw[:, : width * samples]
+    per_byte = 8 // bit_depth
+    shifts = np.arange(per_byte - 1, -1, -1, dtype=np.uint8) * bit_depth
+    mask = (1 << bit_depth) - 1
+    # (h, rowbytes, per_byte) -> (h, rowbytes*per_byte), MSB-first packing
+    expanded = (raw[:, :, None] >> shifts[None, None, :]) & mask
+    return expanded.reshape(raw.shape[0], -1)[:, : width * samples]
+
+
+def _paeth_row(filt: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Paeth-unfilter one scanline (int16 in/out, sequential in x)."""
+    out = np.empty_like(filt)
+    for x in range(len(filt)):
+        a = out[x - bpp] if x >= bpp else 0
+        b = prev[x]
+        c = prev[x - bpp] if x >= bpp else 0
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[x] = (filt[x] + pred) & 0xFF
+    return out
+
+
+def _avg_row(filt: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    out = np.empty_like(filt)
+    for x in range(len(filt)):
+        a = out[x - bpp] if x >= bpp else 0
+        out[x] = (filt[x] + ((a + prev[x]) >> 1)) & 0xFF
+    return out
+
+
+def _png_unfilter(data: bytes, h: int, rowbytes: int, bpp: int) -> np.ndarray:
+    """Inflated IDAT stream -> (h, rowbytes) uint8 recon array.
+
+    Filter 0 (None) and 2 (Up) are fully vectorized; 1 (Sub) is a cumsum
+    per bpp-lane (mod-256 via int32 cumsum); 3/4 (Average/Paeth) are
+    sequential per spec and loop per byte within the row — runs of
+    consecutive Up/None/Sub rows between them stay vectorized."""
+    arr = np.frombuffer(data, dtype=np.uint8, count=h * (rowbytes + 1)).reshape(
+        h, rowbytes + 1
+    )
+    ftypes = arr[:, 0]
+    recon = np.empty((h, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.int16)
+    for y in range(h):
+        f = ftypes[y]
+        row = arr[y, 1:]
+        if f == 0:
+            rec = row
+        elif f == 1:
+            # bpp divides rowbytes for every supported depth/type combo
+            lanes = row.reshape(-1, bpp).astype(np.int32)
+            rec = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(-1)
+        elif f == 2:
+            rec = ((row.astype(np.int16) + prev) & 0xFF).astype(np.uint8)
+        elif f == 3:
+            rec = _avg_row(row.astype(np.int16), prev, bpp).astype(np.uint8)
+        elif f == 4:
+            rec = _paeth_row(row.astype(np.int16), prev, bpp).astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {f} at row {y}")
+        recon[y] = rec
+        prev = recon[y].astype(np.int16)
+    return recon
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, channels) uint8, channels in {1,2,3,4} (gray,
+    gray+alpha, RGB, RGBA; palette expands to RGB/RGBA). Supports color
+    types 0/2/3/4/6 at bit depths 1/2/4/8, non-interlaced. 16-bit samples
+    and Adam7 interlace raise NotImplementedError."""
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG blob")
+    ihdr = palette = trns = None
+    idat_parts: list[bytes] = []
+    for ctype, data in _png_chunks(blob):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
+        elif ctype == b"IDAT":
+            idat_parts.append(data)
+    if ihdr is None or not idat_parts:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, bit_depth, color_type, comp, filt_method, interlace = ihdr
+    if comp != 0 or filt_method != 0:
+        raise ValueError("bad PNG compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if bit_depth == 16:
+        raise NotImplementedError("16-bit PNG not supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {color_type}")
+    samples = _PNG_CHANNELS[color_type]
+    bits_per_px = bit_depth * samples
+    rowbytes = (w * bits_per_px + 7) // 8
+    bpp = max(1, bits_per_px // 8)
+    raw = _png_unfilter(zlib.decompress(b"".join(idat_parts)), h, rowbytes, bpp)
+    px = _unpack_bits(raw, bit_depth, w, samples)
+    if color_type == 3:  # palette -> RGB(A)
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = px.reshape(h, w)
+        rgb = palette[idx]
+        if trns is not None:
+            alpha = np.full(len(palette), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    if bit_depth != 8:  # scale sub-byte gray to full 0..255 range
+        px = (px.astype(np.uint16) * 255 // ((1 << bit_depth) - 1)).astype(np.uint8)
+    return px.reshape(h, w, samples)
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, {1,3,4}) or (h, w) uint8 -> 8-bit non-interlaced PNG bytes.
+    ``filter_type`` applies one filter (0/1/2/3/4) to every scanline —
+    exercised by the round-trip tests to cover all unfilter branches."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = c
+    rows = img.reshape(h, w * c).astype(np.int16)
+    prev = np.zeros(w * c, dtype=np.int16)
+    out_rows = []
+    for y in range(h):
+        cur = rows[y]
+        left = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - ((left + prev) >> 1)
+        elif filter_type == 4:
+            upleft = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = cur - pred
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        out_rows.append(bytes([filter_type]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    raw = b"".join(out_rows)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
 # fake codec (plumbing tests)
 # ---------------------------------------------------------------------------
 def make_fake_image(media_id: str, width: int, height: int, seed: int) -> bytes:
@@ -122,15 +324,22 @@ def _decode(blob: bytes, codec: str) -> tuple[int, int, np.ndarray]:
             codec = "bmp"
         elif blob[:4] == b"IMG|":
             codec = "fake"
-        elif blob[:8] == b"\x89PNG\r\n\x1a\n" or blob[:3] == b"\xff\xd8\xff":
-            raise NotImplementedError(
-                "PNG/JPEG decoding requires PIL — not in this container; "
-                "drop a real decoder into multimodal._decode in deployment"
-            )
+        elif blob[:8] == _PNG_SIG:
+            codec = "png"
+        elif blob[:3] == b"\xff\xd8\xff":
+            codec = "jpeg"
         else:
             raise ValueError("unrecognized media blob")
     if codec == "bmp":
         img = decode_bmp(blob)
+        return img.shape[1], img.shape[0], img.reshape(-1)
+    if codec == "png":
+        img = decode_png(blob)
+        return img.shape[1], img.shape[0], img.reshape(-1)
+    if codec == "jpeg":
+        from fia_own_map_spark.operators.jpeg import decode_jpeg
+
+        img = decode_jpeg(blob)
         return img.shape[1], img.shape[0], img.reshape(-1)
     if codec == "fake":
         return _decode_fake(blob)

@@ -48,6 +48,40 @@ def test_simhash_near_dup(docs):
     assert (0, 6) not in got
 
 
+def test_simhash_pigeonhole_full_recall(spark):
+    """The block scheme must find EVERY pair within the Hamming radius
+    (pigeonhole guarantee) — compared against brute-force exact Hamming over
+    the same simhashes. The old single-prefix probing missed any pair whose
+    differing bits fell in the top 16; this is the regression test for it."""
+    import itertools
+    import random
+
+    from fia_own_map_spark.operators.dedup import _simhash64
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(60)]
+    base_texts = [" ".join(rng.choices(vocab, k=30)) for _ in range(40)]
+    # mutated variants land at a spread of small-to-medium Hamming distances
+    texts = list(base_texts)
+    for t in base_texts[:20]:
+        words = t.split()
+        words[rng.randrange(len(words))] = rng.choice(vocab)
+        texts.append(" ".join(words))
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sh = {i: _simhash64(t.lower().split()) for i, t in rows}
+    expect = set()
+    for (ia, ha), (ib, hb) in itertools.combinations(sorted(sh.items()), 2):
+        if bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1") <= 3:
+            expect.add((ia, ib))
+    assert expect, "fixture must produce at least one in-radius pair"
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got_df = dedup.simhash_dup_pairs(df, max_hamming=3).toPandas()
+    got = {tuple(x) for x in got_df[["id_a", "id_b"]].itertuples(index=False)}
+    assert got == expect
+    # candidate growth is bounded: each doc appears in exactly 4 buckets
+    assert got_df["hamming"].max() <= 3
+
+
 def test_lang_id(docs):
     got = dict(
         docs.select("doc_id", text.lang_id("text").alias("l")).toPandas().values
@@ -115,10 +149,20 @@ def test_multimodal_plumbing(spark):
     out = multimodal.decode_and_featurize(df, fake=True).toPandas().set_index("media_id")
     assert out.loc["m1", "width"] == 4 and out.loc["m2", "height"] == 2
     assert len(out.loc["m1", "features"]) == 4
-    # library-codec bitstreams (PNG/JPEG) are stubbed: must raise, not fake
-    png = [("p1", b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)]
-    pdf = spark.createDataFrame(pd.DataFrame(png, columns=["media_id", "blob"]))
-    with pytest.raises(Exception, match="NotImplementedError|PNG/JPEG"):
+    # auto codec dispatch: a real PNG through the same Spark plumbing
+    import numpy as np
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    png_df = spark.createDataFrame(
+        pd.DataFrame([("g1", multimodal.encode_png(img))], columns=["media_id", "blob"])
+    )
+    got = multimodal.decode_and_featurize(png_df).toPandas().iloc[0]
+    assert got["width"] == 4 and got["height"] == 4
+    assert abs(got["features"][0] - img.mean()) < 1e-9
+    # unrecognized bitstreams must raise, not silently fake-decode
+    bad = [("p1", b"\x00\x01\x02\x03" + b"\x00" * 16)]
+    pdf = spark.createDataFrame(pd.DataFrame(bad, columns=["media_id", "blob"]))
+    with pytest.raises(Exception, match="ValueError|unrecognized"):
         multimodal.decode_and_featurize(pdf).collect()
 
 
@@ -139,6 +183,231 @@ def test_multimodal_bmp_real_codec(spark):
     back = multimodal.decode_bmp(bytes(resized.loc["b2", "blob"]))
     assert back.shape == (4, 4, 3)
     assert (back == multimodal.resize_nearest(img2, 4, 4)).all()
+
+
+def test_png_codec_roundtrip():
+    """decode_png inverts encode_png exactly for every channel count and
+    every scanline filter type (covers all five unfilter branches)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(13, 17, c), dtype=np.uint8)
+        for ft in range(5):
+            out = multimodal.decode_png(multimodal.encode_png(img, filter_type=ft))
+            assert out.shape == img.shape and (out == img).all(), (c, ft)
+    # gradient exercises Sub/Average/Paeth predictions non-trivially
+    g = (np.arange(40)[:, None] + np.arange(60)[None, :]).astype(np.uint8)
+    g = g[:, :, None].repeat(3, axis=2)
+    for ft in range(5):
+        assert (multimodal.decode_png(multimodal.encode_png(g, filter_type=ft)) == g).all()
+
+
+def test_png_palette_and_subbyte():
+    """Handcrafted palette (color type 3) and 1-bit grayscale PNGs decode to
+    the expected pixels (PLTE indexing, tRNS alpha, bit unpacking)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    # 2x2 palette image: indices [[0,1],[2,0]], 8-bit depth
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    raw = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 0])
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"tRNS", bytes([10]))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = multimodal.decode_png(blob)
+    assert out.shape == (2, 2, 4)
+    assert (out[0, 0] == [255, 0, 0, 10]).all()  # tRNS alpha on entry 0
+    assert (out[0, 1] == [0, 255, 0, 255]).all()
+    assert (out[1, 0] == [0, 0, 255, 255]).all()
+    # 1-bit gray, 10px wide (ragged last byte): pattern 1010101010
+    w, h = 10, 2
+    rowbits = bytes([0b10101010, 0b10000000])
+    raw1 = (b"\x00" + rowbits) * h
+    blob1 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw1))
+        + chunk(b"IEND", b"")
+    )
+    out1 = multimodal.decode_png(blob1)
+    assert out1.shape == (h, w, 1)
+    assert (out1[0, :, 0] == np.array([255, 0] * 5)).all()
+
+
+def test_png_differential_javax_imageio():
+    """Differential vs the JVM's independent PNG decoder (javax.imageio,
+    present because Spark requires Java): encode random RGB/RGBA/gray images
+    with every filter type using encode_png, decode with ImageIO, compare
+    pixels exactly. Skips if no JDK compiler is available."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    import numpy as np
+
+    if not shutil.which("javac") or not shutil.which("java"):
+        pytest.skip("no JDK in environment")
+    src = r"""
+import javax.imageio.ImageIO;
+import java.awt.image.BufferedImage;
+import java.awt.image.Raster;
+import java.io.File;
+import java.io.FileOutputStream;
+public class DumpPng {
+    public static void main(String[] args) throws Exception {
+        BufferedImage im = ImageIO.read(new File(args[0]));
+        int w = im.getWidth(), h = im.getHeight();
+        Raster r = im.getRaster();
+        int bands = r.getNumBands();
+        FileOutputStream out = new FileOutputStream(args[1]);
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++)
+                for (int b = 0; b < bands; b++)
+                    out.write(r.getSample(x, y, b));
+        out.close();
+        System.out.println(w + " " + h + " " + bands);
+    }
+}
+"""
+    with tempfile.TemporaryDirectory() as td:
+        with open(f"{td}/DumpPng.java", "w") as f:
+            f.write(src)
+        subprocess.run(["javac", f"{td}/DumpPng.java"], check=True, cwd=td)
+        rng = np.random.default_rng(3)
+        for c in (1, 3, 4):
+            img = rng.integers(0, 256, size=(9, 14, c), dtype=np.uint8)
+            for ft in range(5):
+                blob = multimodal.encode_png(img, filter_type=ft)
+                with open(f"{td}/t.png", "wb") as f:
+                    f.write(blob)
+                r = subprocess.run(
+                    ["java", "-cp", td, "DumpPng", f"{td}/t.png", f"{td}/px.bin"],
+                    check=True, capture_output=True, text=True,
+                )
+                w, h, bands = map(int, r.stdout.split())
+                assert (w, h, bands) == (14, 9, c)
+                ref = np.fromfile(f"{td}/px.bin", dtype=np.uint8).reshape(h, w, c)
+                assert (ref == img).all(), (c, ft)
+
+
+def test_jpeg_differential_javax_imageio():
+    """Baseline-JPEG decoder vs the JVM's libjpeg-style decoder: javax
+    ENCODES random smooth images (an independent encoder), both sides decode
+    the same bitstream, pixels must agree within the T.81 conformance-style
+    tolerance. Gray (single component, no upsampling) is held to max +/-2;
+    4:2:0 color is held to max +/-5 (we mirror libjpeg's triangular "fancy"
+    chroma upsampler in float, so residuals are IDCT/rounding-only)."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    import numpy as np
+
+    from fia_own_map_spark.operators.jpeg import decode_jpeg
+
+    if not shutil.which("javac") or not shutil.which("java"):
+        pytest.skip("no JDK in environment")
+    src = r"""
+import javax.imageio.ImageIO;
+import javax.imageio.ImageWriteParam;
+import javax.imageio.ImageWriter;
+import javax.imageio.stream.FileImageOutputStream;
+import java.awt.image.BufferedImage;
+import java.awt.image.Raster;
+import java.io.File;
+import java.io.FileOutputStream;
+import java.nio.file.Files;
+import java.nio.file.Paths;
+public class JpegTool {
+    public static void main(String[] args) throws Exception {
+        if (args[0].equals("enc")) {
+            int w = Integer.parseInt(args[2]), h = Integer.parseInt(args[3]);
+            int bands = Integer.parseInt(args[4]);
+            byte[] raw = Files.readAllBytes(Paths.get(args[1]));
+            BufferedImage im = new BufferedImage(w, h,
+                bands == 1 ? BufferedImage.TYPE_BYTE_GRAY : BufferedImage.TYPE_3BYTE_BGR);
+            int k = 0;
+            for (int y = 0; y < h; y++)
+                for (int x = 0; x < w; x++)
+                    for (int b = 0; b < bands; b++)
+                        im.getRaster().setSample(x, y, b, raw[k++] & 0xFF);
+            ImageWriter wr = ImageIO.getImageWritersByFormatName("jpg").next();
+            ImageWriteParam p = wr.getDefaultWriteParam();
+            p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
+            p.setCompressionQuality(Float.parseFloat(args[6]));
+            wr.setOutput(new FileImageOutputStream(new File(args[5])));
+            wr.write(null, new javax.imageio.IIOImage(im, null, null), p);
+            wr.dispose();
+        } else {
+            BufferedImage im = ImageIO.read(new File(args[1]));
+            int w = im.getWidth(), h = im.getHeight();
+            Raster r = im.getRaster();
+            int bands = r.getNumBands();
+            FileOutputStream out = new FileOutputStream(args[2]);
+            for (int y = 0; y < h; y++)
+                for (int x = 0; x < w; x++)
+                    for (int b = 0; b < bands; b++)
+                        out.write(r.getSample(x, y, b));
+            out.close();
+            System.out.println(w + " " + h + " " + bands);
+        }
+    }
+}
+"""
+    with tempfile.TemporaryDirectory() as td:
+        with open(f"{td}/JpegTool.java", "w") as f:
+            f.write(src)
+        subprocess.run(["javac", f"{td}/JpegTool.java"], check=True, cwd=td)
+        rng = np.random.default_rng(5)
+        h, w = 24, 33
+        yy, xx = np.mgrid[0:h, 0:w]
+        for bands, quality in ((1, 0.9), (3, 0.9), (3, 0.7)):
+            # smooth low-frequency image: quantization keeps signal, so the
+            # decoder comparison is meaningful rather than noise-vs-noise
+            img = np.stack(
+                [
+                    (128 + 100 * np.sin(xx / 5 + b) * np.cos(yy / 7 + b)).astype(np.uint8)
+                    for b in range(bands)
+                ],
+                axis=2,
+            )
+            img.tofile(f"{td}/raw.bin")
+            subprocess.run(
+                ["java", "-cp", td, "JpegTool", "enc", f"{td}/raw.bin", str(w),
+                 str(h), str(bands), f"{td}/t.jpg", str(quality)],
+                check=True,
+            )
+            mine = decode_jpeg(open(f"{td}/t.jpg", "rb").read())
+            r = subprocess.run(
+                ["java", "-cp", td, "JpegTool", "dec", f"{td}/t.jpg", f"{td}/px.bin"],
+                check=True, capture_output=True, text=True,
+            )
+            rw, rh, rb = map(int, r.stdout.split())
+            ref = np.fromfile(f"{td}/px.bin", dtype=np.uint8).reshape(rh, rw, rb)
+            assert mine.shape == ref.shape == (h, w, bands)
+            d = np.abs(mine.astype(int) - ref.astype(int))
+            if bands == 1:
+                assert d.max() <= 2, d.max()
+            else:
+                # fancy upsampler matches libjpeg's within rounding; measured
+                # max=3 mean<0.5 frac>2<0.3% on these fixtures
+                assert d.max() <= 5 and d.mean() < 0.8 and (d > 2).mean() < 0.01, (
+                    d.max(), d.mean(), (d > 2).mean()
+                )
 
 
 def test_classifier_cascade(spark):
