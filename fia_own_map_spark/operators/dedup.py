@@ -240,14 +240,38 @@ def simhash_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    prefix_bits: int = 16,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming, candidates bucketed
-    by the top prefix_bits (rotated probes would widen recall; one prefix
-    bucket keeps the demo simple and the join bounded)."""
+    """Near-dup pairs with Hamming(simhash) <= max_hamming — FULL recall via
+    the pigeonhole block scheme (Manku, Jain & Sarma, WWW 2007, "Detecting
+    Near-Duplicates for Web Crawling"): the 64-bit fingerprint is split into
+    ``max_hamming + 1`` contiguous blocks, so any pair within the radius
+    differs in at most max_hamming blocks and must agree EXACTLY on at least
+    one. Each doc explodes into one row per (block_idx, block_value) bucket;
+    same-bucket candidates are verified with the true 64-bit Hamming
+    distance. Unlike prefix probing this misses nothing, and the join stays
+    an equi-join: one shuffle on the bucket key, candidates bounded by
+    bucket sizes (buckets above ``max_bucket_size`` — degenerate block
+    values such as the all-zero block of near-empty docs — are dropped, the
+    same mega-block cap as MinHash-LSH above)."""
+    n_blocks = max_hamming + 1
+    if n_blocks > 64:
+        raise ValueError("max_hamming must be < 64")
+    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
     sh = df.select(F.col(id_col), simhash(text_col).alias("sh"))
-    shift = 64 - prefix_bits
-    bucketed = sh.withColumn("bucket", F.shiftrightunsigned("sh", shift))
+    blocks = []
+    lo = 0
+    for i, wdt in enumerate(widths):
+        val = F.shiftrightunsigned("sh", lo).bitwiseAND(F.lit((1 << wdt) - 1))
+        blocks.append(F.concat_ws(":", F.lit(i), val.cast("string")))
+        lo += wdt
+    bucketed = sh.withColumn("bucket", F.explode(F.array(*blocks)))
+    w_bucket = Window.partitionBy("bucket")
+    bucketed = (
+        bucketed.withColumn("_bsz", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
     a = bucketed.select("bucket", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = bucketed.select("bucket", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     ham = F.bit_count(F.expr("sh_a ^ sh_b"))
