@@ -140,6 +140,39 @@ def test_ann_lsh_subset_of_bucket(spark):
         assert sub[sub["rank"] == 1]["vec_id"].iloc[0] == q
 
 
+def test_ann_lsh_multiprobe_recall(spark):
+    """Flip-1 multi-probe must recover strictly more of the brute-force
+    top-k than single-probe on a spread query set, and never less per
+    query (single-probe candidates are a subset of the probed set)."""
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((300, 8)).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(300), "embedding": [v.tolist() for v in vecs]})
+    corpus = spark.createDataFrame(pdf)
+    queries = corpus.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = ann.cosine_topk(corpus, queries, k=5).toPandas()
+    single = ann.lsh_cosine_topk(
+        corpus, queries, k=5, n_planes=6, multiprobe=0
+    ).toPandas()
+    multi = ann.lsh_cosine_topk(
+        corpus, queries, k=5, n_planes=6, multiprobe=1
+    ).toPandas()
+
+    def recall(approx):
+        hits = total = 0
+        for q, grp in truth.groupby("query_id"):
+            want = set(grp["vec_id"])
+            hits += len(want & set(approx[approx.query_id == q]["vec_id"]))
+            total += len(want)
+        return hits / total
+
+    r0, r1 = recall(single), recall(multi)
+    assert r1 > r0, (r0, r1)
+    # bounded candidate growth: probes = n_planes + 1 buckets per query
+    assert multi.groupby("query_id")["rank"].max().max() <= 5
+
+
 def test_multimodal_plumbing(spark):
     blobs = [
         ("m1", multimodal.make_fake_image("m1", 4, 4, seed=1)),
