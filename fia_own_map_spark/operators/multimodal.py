@@ -18,10 +18,18 @@ Codecs in this container:
     Huffman + dequant + separable IDCT + chroma upsample; see ``jpeg.py``),
     differential-tested against javax.imageio / libjpeg within the T.81
     conformance tolerance. Progressive/arithmetic raise NotImplementedError.
+  * ``wav``  — REAL decoder/encoder for RIFF/WAVE PCM audio (8/16/32-bit
+    int + 32-bit float, any channel count), plus ``audio_featurize``
+    (duration / RMS / zero-crossing rate / peak per channel).
   * ``fake`` — deterministic synthetic blob (``b"IMG|w|h|payload"``) for
     plumbing tests.
-  * audio/video bitstreams — STUBBED with NotImplementedError: real
-    deployments drop ffmpeg into ``_decode``; nothing else changes.
+  * ``avi``  — REAL container parser for MJPEG AVI video (RIFF tree walk,
+    ``movi`` frame chunks, each frame decoded with the baseline-JPEG
+    decoder); ``video_frame_features`` samples every Nth frame — the real
+    version of ``frame_sample_plan``.
+  * compressed audio (MP3/AAC) and inter-frame video codecs (H.264 etc.)
+    — STUBBED with NotImplementedError: real deployments drop ffmpeg into
+    the decode dispatch; nothing else changes.
 
 Blob auto-detection by magic bytes (``codec="auto"``).
 """
@@ -296,6 +304,231 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+# ---------------------------------------------------------------------------
+# real codec: RIFF/WAVE PCM audio
+# ---------------------------------------------------------------------------
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> ((n_frames, n_channels) float64 in [-1, 1], sample_rate).
+
+    Supports PCM (format 1: 8-bit unsigned, 16/24/32-bit signed) and IEEE
+    float (format 3: float32/float64), any channel count. Compressed
+    formats (MP3-in-WAV etc.) raise NotImplementedError."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV blob")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _byte_rate, _block_align, bits = fmt
+    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: subformat GUID leads
+        raise NotImplementedError("WAVE_FORMAT_EXTENSIBLE not supported")
+    if audio_fmt == 1:  # integer PCM
+        if bits == 8:
+            samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 16:
+            samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            ints = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+            ints = np.where(ints >= 1 << 23, ints - (1 << 24), ints)
+            samples = ints.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            samples = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise NotImplementedError(f"{bits}-bit integer PCM")
+    elif audio_fmt == 3:  # IEEE float
+        dtype = "<f4" if bits == 32 else "<f8"
+        samples = np.frombuffer(data, dtype=dtype).astype(np.float64)
+    else:
+        raise NotImplementedError(f"WAV format code {audio_fmt} (compressed?)")
+    return samples.reshape(-1, n_ch), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:
+    """(n_frames, n_channels) float in [-1, 1] -> 16-bit PCM WAV bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if bits != 16:
+        raise NotImplementedError("encoder emits 16-bit PCM")
+    n_ch = samples.shape[1]
+    ints = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2")
+    data = ints.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", ArrayType(DoubleType())),
+        StructField("zero_crossing_rate", ArrayType(DoubleType())),
+        StructField("peak", ArrayType(DoubleType())),
+    ]
+)
+
+
+def audio_featurize(
+    df: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
+) -> DataFrame:
+    """mapInPandas WAV decode + per-channel features (duration, RMS,
+    zero-crossing rate, peak) — the audio analog of decode_and_featurize."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                samples, rate = decode_wav(bytes(blob))
+                n, ch = samples.shape
+                rms = np.sqrt((samples**2).mean(axis=0))
+                zcr = (np.diff(np.signbit(samples), axis=0) != 0).mean(axis=0)
+                peak = np.abs(samples).max(axis=0)
+                rows.append(
+                    (mid, rate, ch, n / rate, rms.tolist(), zcr.tolist(), peak.tolist())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "duration_s",
+                    "rms", "zero_crossing_rate", "peak",
+                ],
+            )
+
+    return df.mapInPandas(_batches, AUDIO_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# real codec: MJPEG AVI video (RIFF container + per-frame JPEG)
+# ---------------------------------------------------------------------------
+def _riff_chunks(data: bytes, pos: int, end: int) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (fourcc, body_start, body_size) for the chunks in [pos, end)."""
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)  # word alignment
+
+
+def avi_frames(blob: bytes) -> list[bytes]:
+    """MJPEG AVI bytes -> list of JPEG frame bitstreams (video stream only).
+
+    Walks the RIFF tree to the ``movi`` LIST and collects ``..dc``/``..db``
+    (compressed/uncompressed DIB) chunks; MJPEG frames are JPEG bitstreams.
+    Non-MJPEG AVIs still parse — frames that are not JPEG raise at decode.
+    """
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not an AVI blob")
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        for cid, start, size in _riff_chunks(blob, pos, end):
+            if cid == b"LIST":
+                list_type = blob[start : start + 4]
+                if list_type in (b"movi", b"hdrl", b"rec "):
+                    walk(start + 4, start + size)
+            elif cid[2:4] in (b"dc", b"db") and size > 0:
+                frames.append(blob[start : start + size])
+
+    walk(12, len(blob))
+    return frames
+
+
+def encode_avi_mjpeg(
+    jpeg_frames: list[bytes], width: int, height: int, fps: int = 30
+) -> bytes:
+    """JPEG bitstreams -> minimal MJPEG AVI (avih + one video strl + movi)."""
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    n = len(jpeg_frames)
+    us_per_frame = 1_000_000 // fps
+    max_bytes = max((len(f) for f in jpeg_frames), default=0)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        us_per_frame, max_bytes * fps, 0, 0x10, n, 0, 1, max_bytes,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n, max_bytes, 0xFFFFFFFF,
+        0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def video_frame_features(
+    df: DataFrame,
+    every_n: int = 30,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """mapInPandas MJPEG-AVI frame sampling: container parse -> every Nth
+    frame -> JPEG decode -> per-frame pixel stats. The real version of
+    ``frame_sample_plan`` (one output row per sampled frame)."""
+    from fia_own_map_spark.operators.jpeg import decode_jpeg
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                frames = avi_frames(bytes(blob))
+                for idx in range(0, len(frames), every_n):
+                    img = decode_jpeg(frames[idx])
+                    px = img.reshape(-1).astype(np.float64)
+                    rows.append(
+                        (mid, idx, img.shape[1], img.shape[0],
+                         [px.mean(), px.std(), float(px.min()), float(px.max())])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "width", "height", "features"]
+            )
+
+    return df.mapInPandas(_batches, VIDEO_META_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -443,6 +443,127 @@ public class JpegTool {
                 )
 
 
+def test_wav_codec_differential_stdlib():
+    """WAV codec vs the stdlib `wave` module (independent implementation):
+    stdlib writes -> we decode exactly; we encode -> stdlib reads exactly.
+    Plus the 8-bit-unsigned and IEEE-float32 decode branches on handcrafted
+    chunks."""
+    import io
+    import struct as st
+    import wave
+
+    import numpy as np
+
+    sig = (np.sin(np.arange(8000) / 20)[:, None] * np.array([0.5, 0.25]))
+    ints = np.round(sig * 32767).astype("<i2")
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(2)
+    w.setsampwidth(2)
+    w.setframerate(16000)
+    w.writeframes(ints.tobytes())
+    w.close()
+    samples, rate = multimodal.decode_wav(buf.getvalue())
+    assert rate == 16000 and samples.shape == (8000, 2)
+    assert np.abs(samples - ints.astype(np.float64) / 32768.0).max() < 1e-12
+
+    blob = multimodal.encode_wav(sig, 22050)
+    r = wave.open(io.BytesIO(blob))
+    assert (r.getnchannels(), r.getframerate(), r.getnframes()) == (2, 22050, 8000)
+    back = np.frombuffer(r.readframes(8000), dtype="<i2").reshape(-1, 2)
+    assert np.abs(back - np.clip(np.round(sig * 32767), -32768, 32767)).max() == 0
+
+    def wav_blob(fmt_code, bits, data, rate=8000, n_ch=1):
+        fmt = st.pack("<HHIIHH", fmt_code, n_ch, rate, rate * n_ch * bits // 8,
+                      n_ch * bits // 8, bits)
+        body = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+        body += b"data" + st.pack("<I", len(data)) + data
+        return b"RIFF" + st.pack("<I", len(body)) + body
+
+    s8, _ = multimodal.decode_wav(wav_blob(1, 8, bytes([0, 128, 255, 64])))
+    assert np.allclose(s8[:, 0], [-1.0, 0.0, 127 / 128, -0.5])
+    f32 = np.array([0.5, -0.25, 1.0], dtype="<f4").tobytes()
+    sf_, rf = multimodal.decode_wav(wav_blob(3, 32, f32, rate=44100))
+    assert rf == 44100 and np.allclose(sf_[:, 0], [0.5, -0.25, 1.0])
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_wav(wav_blob(85, 16, b"\0\0"))  # MP3-in-WAV
+
+
+def test_avi_mjpeg_container_roundtrip():
+    """AVI container: encode N distinct JPEG bitstreams -> parse back
+    byte-identical frames, RIFF word-alignment included (odd-length frames)."""
+    frames = [b"\xff\xd8\xff" + bytes([i]) * (10 + i) for i in range(5)]  # odd+even
+    blob = multimodal.encode_avi_mjpeg(frames, width=4, height=4, fps=10)
+    got = multimodal.avi_frames(blob)
+    assert got == frames
+    with pytest.raises(ValueError):
+        multimodal.avi_frames(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_video_frame_features(spark):
+    """Real MJPEG video path end-to-end through Spark: javax-encoded JPEG
+    frames in an AVI, sampled every 2nd frame, decoded and featurized."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    import numpy as np
+
+    if not shutil.which("javac"):
+        pytest.skip("no JDK in environment")
+    # reuse the JpegTool source embedded in the JPEG differential test
+    import re
+
+    with open(__file__) as f:
+        src = [s for s in re.findall(r'src = r"""(.*?)"""', f.read(), re.S)
+               if "JpegTool" in s][0]
+    with tempfile.TemporaryDirectory() as td:
+        with open(f"{td}/JpegTool.java", "w") as f:
+            f.write(src)
+        subprocess.run(["javac", f"{td}/JpegTool.java"], check=True, cwd=td)
+        frames = []
+        means = []
+        for i in range(4):  # 4 frames of distinct constant brightness
+            img = np.full((16, 16, 3), 40 + 50 * i, dtype=np.uint8)
+            means.append(40 + 50 * i)
+            img.tofile(f"{td}/raw.bin")
+            subprocess.run(
+                ["java", "-cp", td, "JpegTool", "enc", f"{td}/raw.bin", "16",
+                 "16", "3", f"{td}/f.jpg", "0.9"],
+                check=True,
+            )
+            frames.append(open(f"{td}/f.jpg", "rb").read())
+        blob = multimodal.encode_avi_mjpeg(frames, 16, 16, fps=4)
+    df = spark.createDataFrame(
+        pd.DataFrame([("v1", blob)], columns=["media_id", "blob"])
+    )
+    got = multimodal.video_frame_features(df, every_n=2).toPandas()
+    assert got["frame_idx"].tolist() == [0, 2]
+    assert (got["width"] == 16).all() and (got["height"] == 16).all()
+    for row, want in zip(got.itertuples(), [means[0], means[2]]):
+        assert abs(row.features[0] - want) < 3  # JPEG-lossy constant frame
+
+
+def test_audio_featurize(spark):
+    """audio_featurize over Spark binary columns: a pure 100 Hz sine has a
+    known RMS (a/sqrt(2)), ZCR (~2f/rate) and peak (a)."""
+    import numpy as np
+
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 second
+    sine = 0.8 * np.sin(2 * np.pi * 100 * t)
+    blob = multimodal.encode_wav(sine, rate)
+    df = spark.createDataFrame(
+        pd.DataFrame([("a1", blob)], columns=["media_id", "blob"])
+    )
+    got = multimodal.audio_featurize(df).toPandas().iloc[0]
+    assert got["sample_rate"] == rate and got["n_channels"] == 1
+    assert abs(got["duration_s"] - 1.0) < 1e-9
+    assert abs(got["rms"][0] - 0.8 / np.sqrt(2)) < 1e-3
+    assert abs(got["zero_crossing_rate"][0] - 200 / rate) < 0.002
+    assert abs(got["peak"][0] - 0.8) < 1e-3
+
+
 def test_classifier_cascade(spark):
     rows = [
         ("JOHN A SMITH", None, 45),
