@@ -69,6 +69,15 @@ def run_pipeline(
     """
     store = checkpoints or CheckpointStore(cfg.checkpoint_root, job_id)
     metrics: dict = {"job_id": job_id, "score_mode": cfg.score_mode, "stages": {}}
+    section_walls: dict = {}
+    metrics["section_walls"] = section_walls
+    _mark = time.time()
+
+    def _section(name: str) -> None:
+        nonlocal _mark
+        now = time.time()
+        section_walls[name] = round(now - _mark, 3)
+        _mark = now
 
     # ---- stage 0: extract + parse + classify -------------------------------
     t0 = time.time()
@@ -87,6 +96,7 @@ def run_pipeline(
         )
         records = store.read(spark, "records")
         metrics["stages"]["records"] = m
+    _section("s0_records")
 
     # matchable = classified rows; unknowns become singletons
     # (`Name_Matching_opt.py:230-232`). Matching runs inside class buckets,
@@ -111,19 +121,27 @@ def run_pipeline(
     named = matchable.filter(F.length("simple_owners") > 0).withColumn(
         "node_id", F.concat_ws("|", "match_bucket", "simple_owners")
     )
+    # persist: nodes feeds blocking (stage 1), the scoring name join
+    # (stage 2) and the CC vertex set (stage 3) — without the cache each
+    # consumer re-reads the records checkpoint and re-runs the distinct
+    # shuffle. Unpersisted before return.
     nodes = named.select(
         "node_id", "match_bucket", "simple_owners", "tokens", "name_keys"
-    ).distinct()
+    ).distinct().persist()
 
     # ---- stage 1: blocking keys + explicit skew handling -------------------
     if store.exists("block_keys"):
         keys = store.read(spark, "block_keys")
         metrics["stages"]["block_keys"] = store.read_metrics("block_keys")
     else:
+        # persist: the raw key table is consumed by the mega-block stats
+        # collect, the salting join AND the checkpoint write — without the
+        # cache the whole metaphone-UDF key derivation runs three times
+        # (the mega.collect() job was also invisible to the stage wall).
         raw_keys = blocking_keys(
             nodes, id_col="node_id", class_col="match_bucket",
             include_soundex=cfg.use_soundex_keys,
-        )
+        ).persist()
         if cfg.salt_mega_blocks:
             salted, mega = salt_mega_blocks(raw_keys, "node_id", cfg)
             mega_rows = mega.collect()
@@ -139,8 +157,10 @@ def run_pipeline(
         else:
             salted, extra = raw_keys, {"mega_blocks": 0}
         m = store.write("block_keys", salted, extra_metrics=extra)
+        raw_keys.unpersist()
         keys = store.read(spark, "block_keys")
         metrics["stages"]["block_keys"] = m
+    _section("s1_block")
 
     # ---- stage 2: candidate pairs + scoring -> match edges (node-level) ----
     if store.exists("edges"):
@@ -165,6 +185,7 @@ def run_pipeline(
             pairs.unpersist()
         edges = store.read(spark, "edges")
         metrics["stages"]["edges"] = m
+    _section("s2_score")
 
     # ---- stage 3: connected components + refinement ------------------------
     if store.exists("clusters"):
@@ -203,11 +224,27 @@ def run_pipeline(
         m = store.write("clusters", final)
         clusters = store.read(spark, "clusters")
         metrics["stages"]["clusters"] = m
+    _section("s3_cluster")
 
     metrics["wall_s"] = round(time.time() - t0, 3)
-    # row-count preservation guard (`Classify_Unknowns_opt.py:674-690` analogue)
-    n_in, n_out = records.count(), clusters.count()
+    # A7 grouped distinct-count QA metric (`Name_Matching_opt.py:32` nunique
+    # logging analogue): clusters per ownership class, one small agg over
+    # the final checkpoint. countDistinct is exact here; at 100 TB swap for
+    # approx_count_distinct.
+    metrics["clusters_per_class"] = {
+        int(r["own_type"]): int(r["n_clusters"])
+        for r in clusters.groupBy("own_type")
+        .agg(F.countDistinct("cluster_id").alias("n_clusters"))
+        .collect()
+    }
+    # row-count preservation guard (`Classify_Unknowns_opt.py:674-690`
+    # analogue). Counts come from the committed snapshots' own lineage
+    # metrics (parquet footer stats) — no extra scan jobs.
+    n_in = metrics["stages"]["records"]["rows_out"]
+    n_out = metrics["stages"]["clusters"]["rows_out"]
     metrics["rows_in"], metrics["rows_out"] = n_in, n_out
+    nodes.unpersist()
+    _section("s4_qa")
     if n_in != n_out:
         raise RuntimeError(f"row-count invariant violated: in={n_in} out={n_out}")
     return clusters, metrics

