@@ -547,8 +547,8 @@ def write_baseline_md(scaling: dict, ann_recall: dict | None = None) -> None:
 
 Per BASELINE.md: no real multi-node cluster is available; the N -> 4N
 executor criterion is evidenced at two core-count pairs over the SAME input
-(seed-42 corpus, {scaling['n_pages']} pages; identical JVM heap and
-shuffle-partitions-per-core at every level). Best of
+(seed-42 corpus, {scaling['n_pages']} pages; identical JVM heap and the
+same job-level constant shuffle width at every level). Best of
 {scaling['repeats']} interleaved repeats per level (the sandbox host has
 noisy neighbors; single runs showed up to 3x run-to-run drift). Each
 measurement runs in a subprocess pinned with `taskset` to exactly N CPUs
@@ -583,15 +583,18 @@ Saturation pair 8 -> 32 (large workload): efficiency
 pure-python arithmetic loop measured in this same bench run (Firecracker
 guest on shared host cores) — kernel efficiency relative to that measured
 ceiling: **`{scaling['scaling_efficiency_8_32_vs_host_ceiling']}`**.
-Workload-matched ceiling (same run): THE EXACT numpy scoring kernel run as
-P independent python processes with NO Spark (multiprocessing.Pool over the
-same name pairs) scales
-`{calib.get('kernel_mp_ceiling_8_32')}`/1.0 from 8 to 32 — Spark's measured
-efficiency relative to that apples-to-apples ceiling:
-**`{scaling['scaling_efficiency_8_32_vs_kernel_mp_ceiling']}`**. Any
-residual below 1.0 is the engine's orchestration cost; the rest of the gap
-to 4x is the shared host's memory-bandwidth/throttle ceiling, which no
-engine running this compute on this box can exceed.
+Workload-matched Spark-free reference (same run): THE EXACT numpy scoring
+kernel run as P independent python processes with NO Spark
+(multiprocessing.Pool over the same name pairs) scales
+`{calib.get('kernel_mp_ceiling_8_32')}`/1.0 from 8 to 32; Spark's measured
+efficiency relative to that apples-to-apples reference:
+**`{scaling['scaling_efficiency_8_32_vs_kernel_mp_ceiling']}`**. At or
+above 1.0 means the engine's orchestration (scheduling, Arrow transport)
+adds NO scaling cost over running the same compute bare on this host — any
+remaining gap to 4x is the shared host's memory-bandwidth/throttle
+behavior, not the job's. (Spark can legitimately exceed the naive pool:
+dynamic task scheduling load-balances around throttled cores, which a
+static equal-split pool cannot.)
 Host ceiling 2->8: `{calib.get('ratio_2_8')}x`/4. The scoring stage is
 shuffle-free and embarrassingly parallel: each Arrow batch is scored
 independently with no cross-partition traffic, so on a real cluster where 4N
