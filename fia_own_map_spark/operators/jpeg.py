@@ -1,13 +1,16 @@
-"""Baseline sequential JPEG decoder — pure python/numpy, no external libs.
+"""JPEG decoder (baseline + progressive) — pure python/numpy, no external libs.
 
-Supports the common web-JPEG shape: baseline DCT (SOF0), Huffman coding,
-8-bit samples, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 chroma
-subsampling, restart markers. Progressive (SOF2), arithmetic coding and
-12-bit raise NotImplementedError.
+Supports the common web-JPEG shapes: baseline DCT (SOF0/SOF1) AND
+progressive (SOF2, spectral selection + successive approximation, T.81
+annex G), Huffman coding, 8-bit samples, grayscale or YCbCr with 4:4:4 /
+4:2:2 / 4:2:0 chroma subsampling, restart markers. Arithmetic coding and
+12-bit precision raise NotImplementedError.
 
-Decode pipeline (ITU-T T.81): entropy-decode MCU blocks -> dequantize ->
-level-shifted 2-D IDCT (separable, float64) -> nearest-neighbor chroma
-upsample -> YCbCr->RGB (JFIF full-range matrix).
+Decode pipeline (ITU-T T.81): every scan entropy-decodes into per-component
+zigzag COEFFICIENT STORES (baseline is the one-scan special case) ->
+dezigzag + dequantize + one vectorized separable IDCT over all blocks
+(einsum) -> libjpeg-style triangular chroma upsample -> YCbCr->RGB (JFIF
+full-range matrix).
 
 Exactness: the spec allows IDCT implementations to differ by small integer
 amounts; parity with libjpeg-backed decoders (javax.imageio differential
@@ -143,8 +146,166 @@ def _extend(v: int, n: int) -> int:
     return v - (1 << n) + 1 if n and v < (1 << (n - 1)) else v
 
 
+def _scan_end(blob: bytes, pos: int) -> int:
+    """Index just past the entropy-coded data starting at pos (the next
+    marker that is neither stuffing 0xFF00 nor a restart)."""
+    i = pos
+    n = len(blob)
+    while i + 1 < n:
+        if blob[i] == 0xFF and blob[i + 1] != 0x00 and not (0xD0 <= blob[i + 1] <= 0xD7):
+            return i
+        i += 1
+    return n
+
+
+class _ScanDecoder:
+    """Decode one scan (baseline full-band or any progressive scan) into the
+    per-component zigzag coefficient stores. Implements all four
+    progressive regimes of T.81 annex G (DC/AC x first/refinement) plus the
+    baseline sequential case as the Ss=0..Se=63, Ah=Al=0 special case."""
+
+    def __init__(self, scan: dict, frame: dict, coefs: dict) -> None:
+        self.scan = scan
+        self.frame = frame
+        self.coefs = coefs
+        self.reader = _BitReader(scan["data"])
+        self.eobrun = 0
+        self.pred = {c["id"]: 0 for c in frame["comps"]}
+
+    def run(self) -> None:
+        scan, frame = self.scan, self.frame
+        by_id = {c["id"]: c for c in frame["comps"]}
+        ri = scan["restart_interval"]
+        if len(scan["comps"]) > 1:  # interleaved: MCU order over all comps
+            mcux, mcuy = frame["mcux"], frame["mcuy"]
+            units = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if ri and units and units % ri == 0:
+                        self._restart()
+                    for sc in scan["comps"]:
+                        c = by_id[sc["id"]]
+                        for by in range(c["vs"]):
+                            for bx in range(c["hs"]):
+                                self._block(
+                                    sc, c,
+                                    my * c["vs"] + by, mx * c["hs"] + bx,
+                                )
+                    units += 1
+        else:  # non-interleaved: block-raster over the component's own grid
+            sc = scan["comps"][0]
+            c = by_id[sc["id"]]
+            bw = (frame["w"] * c["hs"] + 8 * frame["hmax"] - 1) // (8 * frame["hmax"])
+            bh = (frame["h"] * c["vs"] + 8 * frame["vmax"] - 1) // (8 * frame["vmax"])
+            units = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if ri and units and units % ri == 0:
+                        self._restart()
+                    self._block(sc, c, by, bx)
+                    units += 1
+
+    def _restart(self) -> None:
+        self.reader.sync_restart()
+        self.pred = {k: 0 for k in self.pred}
+        self.eobrun = 0
+
+    def _block(self, sc: dict, c: dict, by: int, bx: int) -> None:
+        coef = self.coefs[c["id"]][by, bx]
+        scan, rd = self.scan, self.reader
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        if ss == 0:  # DC (and, for baseline, the full band follows)
+            if ah == 0:  # first pass
+                t = rd.decode_huff(scan["dc_tables"][sc["dc"]])
+                diff = _extend(rd.receive(t), t)
+                self.pred[c["id"]] += diff
+                coef[0] = self.pred[c["id"]] << al
+            else:  # DC refinement: one bit
+                if rd.read_bit():
+                    coef[0] |= 1 << al
+            if se == 0:
+                return
+            self._ac_first(scan["ac_tables"][sc["ac"]], coef, 1, se, al)
+        elif ah == 0:
+            self._ac_first(scan["ac_tables"][sc["ac"]], coef, ss, se, al)
+        else:
+            self._ac_refine(scan["ac_tables"][sc["ac"]], coef, ss, se, al)
+
+    def _ac_first(self, table: _HuffTable, coef, ss: int, se: int, al: int) -> None:
+        rd = self.reader
+        if self.eobrun > 0:
+            self.eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = rd.decode_huff(table)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                self.eobrun = (1 << r) - 1
+                if r:
+                    self.eobrun += rd.receive(r)
+                break  # EOBn
+            k += r
+            if k > se:
+                break
+            coef[k] = _extend(rd.receive(s), s) << al
+            k += 1
+
+    def _ac_refine(self, table: _HuffTable, coef, ss: int, se: int, al: int) -> None:
+        """T.81 G.1.2.3 AC successive-approximation refinement (the
+        correction-bit algorithm, as in libjpeg's decode_mcu_AC_refine)."""
+        rd = self.reader
+        p1, m1 = 1 << al, -1 << al
+        k = ss
+        if self.eobrun == 0:
+            while k <= se:
+                rs = rd.decode_huff(table)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:
+                        # EOBRUN includes the CURRENT block: its remaining
+                        # nonzero-history coefficients still carry correction
+                        # bits (read in the EOB pass below, which then
+                        # decrements) — (1<<r)-1 here desyncs the stream
+                        self.eobrun = 1 << r
+                        if r:
+                            self.eobrun += rd.receive(r)
+                        break
+                    s = 0  # ZRL: run of 16 zero-history coefficients
+                else:  # s is always 1 in refinement scans
+                    s = p1 if rd.read_bit() else m1
+                while k <= se:
+                    if coef[k] != 0:
+                        if rd.read_bit() and (coef[k] & p1) == 0:
+                            coef[k] += p1 if coef[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            if s:
+                                coef[k] = s
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if self.eobrun > 0:  # EOB run: correction bits only
+            while k <= se:
+                if coef[k] != 0:
+                    if rd.read_bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                k += 1
+            self.eobrun -= 1
+
+
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """JPEG bytes -> (h, w, 3) RGB or (h, w, 1) grayscale uint8."""
+    """JPEG bytes -> (h, w, 3) RGB or (h, w, 1) grayscale uint8.
+
+    Baseline sequential (SOF0/SOF1-huffman) AND progressive (SOF2) via a
+    unified coefficient-store pipeline: every scan decodes into per-
+    component zigzag coefficient arrays; dequantize + IDCT happen once at
+    the end. Arithmetic coding and 12-bit precision raise
+    NotImplementedError."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG blob")
     pos = 2
@@ -153,7 +314,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffTable] = {}
     frame = None
     restart_interval = 0
-    scan = None
+    scans: list[dict] = []
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             pos += 1
@@ -176,7 +337,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 tbl[ZIGZAG] = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
                 qt[tid] = tbl.reshape(8, 8)
                 p += 65
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (may be redefined between scans)
             p = 0
             while p < len(seg):
                 cls, tid = seg[p] >> 4, seg[p] & 0xF
@@ -185,7 +346,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 syms = seg[p + 17 : p + 17 + n]
                 (huff_dc if cls == 0 else huff_ac)[tid] = _HuffTable(counts, syms)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext sequential / progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG")
@@ -193,76 +354,59 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, samp, qtid = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF, "qt": qtid})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(f"non-baseline JPEG (SOF{marker - 0xC0})")
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"unsupported JPEG coding (SOF{marker - 0xC0})")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — capture the scan + its entropy span
             ns = seg[0]
             scomps = []
             for i in range(ns):
                 cid, tids = struct.unpack_from(">BB", seg, 1 + 2 * i)
                 scomps.append({"id": cid, "dc": tids >> 4, "ac": tids & 0xF})
-            scan = (scomps, blob[pos + seg_len :])
-            break
+            ss_, se_, a = struct.unpack_from(">BBB", seg, 1 + 2 * ns)
+            data_start = pos + seg_len
+            data_end = _scan_end(blob, data_start)
+            scans.append(
+                {
+                    "comps": scomps, "ss": ss_, "se": se_, "ah": a >> 4, "al": a & 0xF,
+                    "data": blob[data_start:data_end],
+                    "dc_tables": dict(huff_dc), "ac_tables": dict(huff_ac),
+                    "restart_interval": restart_interval,
+                }
+            )
+            pos = data_end
+            continue
         pos += seg_len
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF0/SOS")
+    if frame is None or not scans:
+        raise ValueError("JPEG missing SOF/SOS")
 
-    scomps, ecs = scan
     comps = frame["comps"]
-    by_id = {c["id"]: c for c in comps}
-    for sc in scomps:
-        by_id[sc["id"]].update(sc)
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
-    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
-    planes = {
-        c["id"]: np.zeros((mcuy * c["vs"] * 8, mcux * c["hs"] * 8)) for c in comps
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"] = mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    frame["mcuy"] = mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    # zigzag-order coefficient store per component, padded to the MCU grid
+    coefs = {
+        c["id"]: np.zeros((mcuy * c["vs"], mcux * c["hs"], 64), dtype=np.int32)
+        for c in comps
     }
-    reader = _BitReader(ecs)
-    pred = {c["id"]: 0 for c in comps}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.sync_restart()
-                pred = {c["id"]: 0 for c in comps}
-            for c in comps:
-                dct = huff_dc[c["dc"]]
-                act = huff_ac[c["ac"]]
-                q = qt[c["qt"]]
-                for by in range(c["vs"]):
-                    for bx in range(c["hs"]):
-                        coeffs = np.zeros(64, dtype=np.int32)
-                        t = reader.decode_huff(dct)
-                        diff = _extend(reader.receive(t), t)
-                        pred[c["id"]] += diff
-                        coeffs[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_huff(act)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                break
-                            coeffs[k] = _extend(reader.receive(s), s)
-                            k += 1
-                        block = np.zeros(64, dtype=np.int32)
-                        block[ZIGZAG] = coeffs
-                        spatial = _idct2(block.reshape(8, 8) * q) + 128.0
-                        y0 = (my * c["vs"] + by) * 8
-                        x0 = (mx * c["hs"] + bx) * 8
-                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = spatial
-            mcu_count += 1
+    for scan in scans:
+        _ScanDecoder(scan, frame, coefs).run()
+
+    # reconstruct: dezigzag + dequantize + IDCT, vectorized over all blocks
+    planes = {}
+    for c in comps:
+        grid = coefs[c["id"]]
+        bh, bw = grid.shape[:2]
+        blocks = np.zeros((bh, bw, 64), dtype=np.float64)
+        blocks[:, :, ZIGZAG] = grid  # dezigzag
+        blocks = blocks.reshape(bh, bw, 8, 8) * qt[c["qt"]][None, None]
+        # separable IDCT over every block at once: einsum on the two 8-dims
+        spatial = np.einsum("ur,yxuv,vc->yxrc", _IDCT_B, blocks, _IDCT_B) + 128.0
+        planes[c["id"]] = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
 
     h, w = frame["h"], frame["w"]
     out_planes = []

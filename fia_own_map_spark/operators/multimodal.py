@@ -14,10 +14,11 @@ Codecs in this container:
     independent ``javax.imageio`` decoder on real OS PNG files
     (tests/test_ops.py). 16-bit and Adam7 interlace raise
     NotImplementedError.
-  * ``jpeg`` — REAL decoder for baseline sequential JPEG (pure numpy
-    Huffman + dequant + separable IDCT + chroma upsample; see ``jpeg.py``),
-    differential-tested against javax.imageio / libjpeg within the T.81
-    conformance tolerance. Progressive/arithmetic raise NotImplementedError.
+  * ``jpeg`` — REAL decoder for baseline AND progressive JPEG (pure numpy
+    Huffman + successive-approximation scans + dequant + vectorized IDCT +
+    fancy chroma upsample; see ``jpeg.py``), differential-tested against
+    javax.imageio / libjpeg within the T.81 conformance tolerance. Only
+    arithmetic coding and 12-bit raise NotImplementedError.
   * ``wav``  — REAL decoder/encoder for RIFF/WAVE PCM audio (8/16/32-bit
     int + 32-bit float, any channel count), plus ``audio_featurize``
     (duration / RMS / zero-crossing rate / peak per channel).

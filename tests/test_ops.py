@@ -382,6 +382,8 @@ public class JpegTool {
             ImageWriteParam p = wr.getDefaultWriteParam();
             p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
             p.setCompressionQuality(Float.parseFloat(args[6]));
+            if (args.length > 7 && args[7].equals("prog"))
+                p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT);
             wr.setOutput(new FileImageOutputStream(new File(args[5])));
             wr.write(null, new javax.imageio.IIOImage(im, null, null), p);
             wr.dispose();
@@ -408,7 +410,12 @@ public class JpegTool {
         rng = np.random.default_rng(5)
         h, w = 24, 33
         yy, xx = np.mgrid[0:h, 0:w]
-        for bands, quality in ((1, 0.9), (3, 0.9), (3, 0.7)):
+        for bands, quality, mode in (
+            (1, 0.9, "base"), (3, 0.9, "base"), (3, 0.7, "base"),
+            # progressive (SOF2): spectral-selection + successive-
+            # approximation scans through the same coefficient-store path
+            (1, 0.9, "prog"), (3, 0.8, "prog"),
+        ):
             # smooth low-frequency image: quantization keeps signal, so the
             # decoder comparison is meaningful rather than noise-vs-noise
             img = np.stack(
@@ -421,10 +428,13 @@ public class JpegTool {
             img.tofile(f"{td}/raw.bin")
             subprocess.run(
                 ["java", "-cp", td, "JpegTool", "enc", f"{td}/raw.bin", str(w),
-                 str(h), str(bands), f"{td}/t.jpg", str(quality)],
+                 str(h), str(bands), f"{td}/t.jpg", str(quality), mode],
                 check=True,
             )
-            mine = decode_jpeg(open(f"{td}/t.jpg", "rb").read())
+            blob = open(f"{td}/t.jpg", "rb").read()
+            if mode == "prog":
+                assert b"\xff\xc2" in blob  # javax really emitted SOF2
+            mine = decode_jpeg(blob)
             r = subprocess.run(
                 ["java", "-cp", td, "JpegTool", "dec", f"{td}/t.jpg", f"{td}/px.bin"],
                 check=True, capture_output=True, text=True,
