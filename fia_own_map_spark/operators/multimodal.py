@@ -10,10 +10,10 @@ Codecs in this container:
     resize, channel statistics.
   * ``png``  — REAL decoder/encoder (stdlib ``zlib`` inflate + vectorized
     scanline unfiltering, no external libs): color types 0/2/3/4/6, bit
-    depths 1/2/4/8, non-interlaced. Differential-tested against the JVM's
-    independent ``javax.imageio`` decoder on real OS PNG files
-    (tests/test_ops.py). 16-bit and Adam7 interlace raise
-    NotImplementedError.
+    depths 1/2/4/8, both non-interlaced and Adam7-interlaced.
+    Differential-tested against the JVM's independent ``javax.imageio``
+    decoder on real OS PNG files including libpng's own pngtest.png
+    (tests/test_ops.py). 16-bit raises NotImplementedError.
   * ``jpeg`` — REAL decoder for baseline AND progressive JPEG (pure numpy
     Huffman + successive-approximation scans + dequant + vectorized IDCT +
     fancy chroma upsample; see ``jpeg.py``), differential-tested against
@@ -122,6 +122,11 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel (palette expands after unfiltering)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 interlace passes: (x_origin, y_origin, x_stride, y_stride)
+_ADAM7_PASSES = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
 
 def _png_chunks(blob: bytes) -> Iterator[tuple[bytes, bytes]]:
@@ -208,8 +213,8 @@ def _png_unfilter(data: bytes, h: int, rowbytes: int, bpp: int) -> np.ndarray:
 def decode_png(blob: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, channels) uint8, channels in {1,2,3,4} (gray,
     gray+alpha, RGB, RGBA; palette expands to RGB/RGBA). Supports color
-    types 0/2/3/4/6 at bit depths 1/2/4/8, non-interlaced. 16-bit samples
-    and Adam7 interlace raise NotImplementedError."""
+    types 0/2/3/4/6 at bit depths 1/2/4/8, non-interlaced or
+    Adam7-interlaced. 16-bit samples raise NotImplementedError."""
     if blob[:8] != _PNG_SIG:
         raise ValueError("not a PNG blob")
     ihdr = palette = trns = None
@@ -228,18 +233,35 @@ def decode_png(blob: bytes) -> np.ndarray:
     w, h, bit_depth, color_type, comp, filt_method, interlace = ihdr
     if comp != 0 or filt_method != 0:
         raise ValueError("bad PNG compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if bit_depth == 16:
         raise NotImplementedError("16-bit PNG not supported")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {color_type}")
     samples = _PNG_CHANNELS[color_type]
     bits_per_px = bit_depth * samples
-    rowbytes = (w * bits_per_px + 7) // 8
     bpp = max(1, bits_per_px // 8)
-    raw = _png_unfilter(zlib.decompress(b"".join(idat_parts)), h, rowbytes, bpp)
-    px = _unpack_bits(raw, bit_depth, w, samples)
+    inflated = zlib.decompress(b"".join(idat_parts))
+    if interlace == 0:
+        rowbytes = (w * bits_per_px + 7) // 8
+        raw = _png_unfilter(inflated, h, rowbytes, bpp)
+        px = _unpack_bits(raw, bit_depth, w, samples)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered by stride
+        full = np.zeros((h, w, samples), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            rb = (wp * bits_per_px + 7) // 8
+            span = hp * (rb + 1)
+            sub = _png_unfilter(inflated[pos : pos + span], hp, rb, bpp)
+            pos += span
+            sub_px = _unpack_bits(sub, bit_depth, wp, samples)
+            full[y0::dy, x0::dx, :] = sub_px.reshape(hp, wp, samples)
+        px = full.reshape(h, w * samples)
     if color_type == 3:  # palette -> RGB(A)
         if palette is None:
             raise ValueError("palette PNG missing PLTE")

@@ -337,6 +337,83 @@ public class DumpPng {
                 assert (ref == img).all(), (c, ft)
 
 
+def test_png_adam7_interlaced():
+    """Adam7-interlaced PNG decodes exactly — ground truth is libpng's own
+    pngtest.png (8-bit RGBA, interlace=1) compared against javax.imageio.
+    Also asserts a handcrafted tiny interlaced gray image scatters passes
+    to the right pixels."""
+    import os
+    import shutil
+    import struct
+    import subprocess
+    import tempfile
+    import zlib
+
+    import numpy as np
+
+    # handcrafted 3x3 1-channel 8-bit interlaced: passes 1,2,4,6 empty-or-not
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    # image: [[1,2,3],[4,5,6],[7,8,9]]
+    # Adam7 at 3x3: p1=(0,0)->[1]; p4=(2,0) dx4,dy4 ->[3]; p5=(0,2) dx2 dy4 ->[7,9]
+    # p6=(1,0) dx2 dy2 ->[2],[8]; p7=(0,1) dy2 ->[4,5,6]
+    raw = (
+        b"\x00" + bytes([1])          # pass1 1x1
+        + b"\x00" + bytes([3])        # pass4 1x1
+        + b"\x00" + bytes([7, 9])     # pass5 2x1
+        + b"\x00" + bytes([2]) + b"\x00" + bytes([8])  # pass6 1x2
+        + b"\x00" + bytes([4, 5, 6])  # pass7 3x1
+    )
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = multimodal.decode_png(blob)
+    assert (out[:, :, 0] == np.arange(1, 10).reshape(3, 3)).all()
+
+    pngtest = "/usr/share/doc/libpng-dev/examples/pngtest.png"
+    if not os.path.exists(pngtest) or not shutil.which("javac"):
+        pytest.skip("pngtest.png or JDK not in environment")
+    mine = multimodal.decode_png(open(pngtest, "rb").read())
+    src = r"""
+import javax.imageio.ImageIO;
+import java.awt.image.Raster;
+import java.io.File;
+import java.io.FileOutputStream;
+public class DumpRaster {
+    public static void main(String[] args) throws Exception {
+        Raster r = ImageIO.read(new File(args[0])).getRaster();
+        int w = r.getWidth(), h = r.getHeight(), bands = r.getNumBands();
+        FileOutputStream out = new FileOutputStream(args[1]);
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++)
+                for (int b = 0; b < bands; b++)
+                    out.write(r.getSample(x, y, b));
+        out.close();
+        System.out.println(w + " " + h + " " + bands);
+    }
+}
+"""
+    with tempfile.TemporaryDirectory() as td:
+        with open(f"{td}/DumpRaster.java", "w") as f:
+            f.write(src)
+        subprocess.run(["javac", f"{td}/DumpRaster.java"], check=True, cwd=td)
+        r = subprocess.run(
+            ["java", "-cp", td, "DumpRaster", pngtest, f"{td}/px.bin"],
+            check=True, capture_output=True, text=True,
+        )
+        w, h, b = map(int, r.stdout.split())
+        ref = np.fromfile(f"{td}/px.bin", dtype=np.uint8).reshape(h, w, b)
+    assert mine.shape == ref.shape
+    assert (mine == ref).all()
+
+
 def test_jpeg_differential_javax_imageio():
     """Baseline-JPEG decoder vs the JVM's libjpeg-style decoder: javax
     ENCODES random smooth images (an independent encoder), both sides decode
