@@ -10,7 +10,8 @@ Codecs in this container:
     resize, channel statistics.
   * ``png``  — REAL decoder/encoder (stdlib ``zlib`` inflate + vectorized
     scanline unfiltering, no external libs): color types 0/2/3/4/6, bit
-    depths 1/2/4/8, both non-interlaced and Adam7-interlaced.
+    depths 1/2/4/8/16 (16-bit folds to its high byte, the png_set_strip_16
+    convention), both non-interlaced and Adam7-interlaced.
     Differential-tested against the JVM's independent ``javax.imageio``
     decoder on real OS PNG files including libpng's own pngtest.png
     (tests/test_ops.py). 16-bit raises NotImplementedError.
@@ -140,6 +141,16 @@ def _png_chunks(blob: bytes) -> Iterator[tuple[bytes, bytes]]:
             return
 
 
+def _samples_8bit(raw: np.ndarray, bit_depth: int, width: int, samples: int) -> np.ndarray:
+    """Unfiltered scanline bytes -> one uint8 sample per entry. 16-bit
+    samples (big-endian) fold to their high byte — the standard 8-bit
+    ingest convention (what PIL's I;16->L and libpng's png_set_strip_16
+    do); sub-byte depths unpack MSB-first."""
+    if bit_depth == 16:
+        return raw[:, : width * samples * 2][:, 0::2]
+    return _unpack_bits(raw, bit_depth, width, samples)
+
+
 def _unpack_bits(raw: np.ndarray, bit_depth: int, width: int, samples: int) -> np.ndarray:
     """Sub-byte samples (bit depth 1/2/4) -> one uint8 sample per entry.
     ``raw`` is (h, rowbytes); returns (h, width*samples)."""
@@ -213,8 +224,8 @@ def _png_unfilter(data: bytes, h: int, rowbytes: int, bpp: int) -> np.ndarray:
 def decode_png(blob: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, channels) uint8, channels in {1,2,3,4} (gray,
     gray+alpha, RGB, RGBA; palette expands to RGB/RGBA). Supports color
-    types 0/2/3/4/6 at bit depths 1/2/4/8, non-interlaced or
-    Adam7-interlaced. 16-bit samples raise NotImplementedError."""
+    types 0/2/3/4/6 at bit depths 1/2/4/8/16 (16-bit strips to the high
+    byte), non-interlaced or Adam7-interlaced."""
     if blob[:8] != _PNG_SIG:
         raise ValueError("not a PNG blob")
     ihdr = palette = trns = None
@@ -235,8 +246,6 @@ def decode_png(blob: bytes) -> np.ndarray:
         raise ValueError("bad PNG compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
-    if bit_depth == 16:
-        raise NotImplementedError("16-bit PNG not supported")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {color_type}")
     samples = _PNG_CHANNELS[color_type]
@@ -246,7 +255,7 @@ def decode_png(blob: bytes) -> np.ndarray:
     if interlace == 0:
         rowbytes = (w * bits_per_px + 7) // 8
         raw = _png_unfilter(inflated, h, rowbytes, bpp)
-        px = _unpack_bits(raw, bit_depth, w, samples)
+        px = _samples_8bit(raw, bit_depth, w, samples)
     else:  # Adam7: 7 independently-filtered sub-images, scattered by stride
         full = np.zeros((h, w, samples), dtype=np.uint8)
         pos = 0
@@ -259,7 +268,7 @@ def decode_png(blob: bytes) -> np.ndarray:
             span = hp * (rb + 1)
             sub = _png_unfilter(inflated[pos : pos + span], hp, rb, bpp)
             pos += span
-            sub_px = _unpack_bits(sub, bit_depth, wp, samples)
+            sub_px = _samples_8bit(sub, bit_depth, wp, samples)
             full[y0::dy, x0::dx, :] = sub_px.reshape(hp, wp, samples)
         px = full.reshape(h, w * samples)
     if color_type == 3:  # palette -> RGB(A)
@@ -272,7 +281,7 @@ def decode_png(blob: bytes) -> np.ndarray:
             alpha[: len(trns)] = trns
             return np.dstack([rgb, alpha[idx]])
         return rgb
-    if bit_depth != 8:  # scale sub-byte gray to full 0..255 range
+    if bit_depth < 8:  # scale sub-byte gray to full 0..255 range
         px = (px.astype(np.uint16) * 255 // ((1 << bit_depth) - 1)).astype(np.uint8)
     return px.reshape(h, w, samples)
 

@@ -337,6 +337,48 @@ public class DumpPng {
                 assert (ref == img).all(), (c, ft)
 
 
+def test_png_16bit_strips_high_byte():
+    """16-bit PNG (javax-encoded TYPE_USHORT_GRAY) decodes to the high byte
+    of each big-endian sample — the png_set_strip_16 convention."""
+    import shutil
+    import struct
+    import subprocess
+    import tempfile
+
+    import numpy as np
+
+    if not shutil.which("javac"):
+        pytest.skip("no JDK in environment")
+    src = r"""
+import javax.imageio.ImageIO;
+import java.awt.image.BufferedImage;
+import java.io.File;
+public class Write16 {
+    public static void main(String[] args) throws Exception {
+        int w = 9, h = 7;
+        BufferedImage im = new BufferedImage(w, h, BufferedImage.TYPE_USHORT_GRAY);
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++)
+                im.getRaster().setSample(x, y, 0, (x * 7919 + y * 104729) % 65536);
+        ImageIO.write(im, "png", new File(args[0]));
+    }
+}
+"""
+    with tempfile.TemporaryDirectory() as td:
+        with open(f"{td}/Write16.java", "w") as f:
+            f.write(src)
+        subprocess.run(["javac", f"{td}/Write16.java"], check=True, cwd=td)
+        subprocess.run(["java", "-cp", td, "Write16", f"{td}/t16.png"], check=True)
+        blob = open(f"{td}/t16.png", "rb").read()
+    assert struct.unpack(">IIBBBBB", blob[16:29])[2] == 16  # really 16-bit
+    out = multimodal.decode_png(blob)
+    want = np.array(
+        [[((x * 7919 + y * 104729) % 65536) >> 8 for x in range(9)] for y in range(7)],
+        dtype=np.uint8,
+    )
+    assert out.shape == (7, 9, 1) and (out[:, :, 0] == want).all()
+
+
 def test_png_adam7_interlaced():
     """Adam7-interlaced PNG decodes exactly — ground truth is libpng's own
     pngtest.png (8-bit RGBA, interlace=1) compared against javax.imageio.
