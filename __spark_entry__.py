@@ -21,6 +21,7 @@ values after sorting columns by name).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -631,7 +632,9 @@ def oracle_sql() -> dict[str, str]:
     # -> sorted-concat fingerprints -> vendored DM codes (PG-cross-checked
     # mapping; see module docstring). Mirrors combos.normalized_name_keys /
     # exploded_metaphone_keys exactly.
-    dm_csv = "/root/repo/tests/data/dm_keys_sf001.csv"
+    dm_csv = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "data", "dm_keys_sf001.csv"
+    )
     dm_keys_ctes = f"""
             docs AS (SELECT doc_id::VARCHAR AS url,
                             string_split({_DOC_NAME_SQL.format(k=4)}, ' ') AS toks

@@ -262,7 +262,10 @@ def simhash_dup_pairs(
     blocks = []
     lo = 0
     for i, wdt in enumerate(widths):
-        val = F.shiftrightunsigned("sh", lo).bitwiseAND(F.lit((1 << wdt) - 1))
+        val = F.shiftrightunsigned("sh", lo)
+        if wdt < 64:  # wdt == 64 (max_hamming=0): the shifted word IS the
+            # block; the full mask would overflow Spark's signed long literal
+            val = val.bitwiseAND(F.lit((1 << wdt) - 1))
         blocks.append(F.concat_ws(":", F.lit(i), val.cast("string")))
         lo += wdt
     bucketed = sh.withColumn("bucket", F.explode(F.array(*blocks)))

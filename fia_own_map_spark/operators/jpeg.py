@@ -3,8 +3,9 @@
 Supports the common web-JPEG shapes: baseline DCT (SOF0/SOF1) AND
 progressive (SOF2, spectral selection + successive approximation, T.81
 annex G), Huffman coding, 8-bit samples, grayscale or YCbCr with 4:4:4 /
-4:2:2 / 4:2:0 chroma subsampling, restart markers. Arithmetic coding and
-12-bit precision raise NotImplementedError.
+4:2:2 / 4:2:0 chroma subsampling, restart markers, and Adobe APP14
+transform=0 stored-RGB. Arithmetic coding, 12-bit precision and
+4-component CMYK/YCCK raise NotImplementedError.
 
 Decode pipeline (ITU-T T.81): every scan entropy-decodes into per-component
 zigzag COEFFICIENT STORES (baseline is the one-scan special case) ->
@@ -314,6 +315,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffTable] = {}
     frame = None
     restart_interval = 0
+    adobe_transform = None  # APP14: None = no marker (3-comp defaults YCbCr)
     scans: list[dict] = []
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
@@ -350,6 +352,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG")
+            if nc not in (1, 3):
+                # 4-component Adobe CMYK/YCCK (and any other exotic count)
+                raise NotImplementedError(f"{nc}-component JPEG (CMYK/YCCK)")
             comps = []
             for i in range(nc):
                 cid, samp, qtid = struct.unpack_from(">BBB", seg, 6 + 3 * i)
@@ -359,6 +364,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             raise NotImplementedError(f"unsupported JPEG coding (SOF{marker - 0xC0})")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            adobe_transform = seg[11]  # 0=RGB/CMYK, 1=YCbCr, 2=YCCK
         elif marker == 0xDA:  # SOS — capture the scan + its entropy span
             ns = seg[0]
             scomps = []
@@ -432,6 +439,10 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     if len(out_planes) == 1:
         y = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
         return y[:, :, None]
+    if adobe_transform == 0:
+        # Adobe APP14 transform=0: components are stored RGB, no color xform
+        rgb = np.stack(out_planes, axis=2)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     y, cb, cr = out_planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

@@ -14,12 +14,13 @@ Codecs in this container:
     convention), both non-interlaced and Adam7-interlaced.
     Differential-tested against the JVM's independent ``javax.imageio``
     decoder on real OS PNG files including libpng's own pngtest.png
-    (tests/test_ops.py). 16-bit raises NotImplementedError.
+    (tests/test_ops.py).
   * ``jpeg`` — REAL decoder for baseline AND progressive JPEG (pure numpy
     Huffman + successive-approximation scans + dequant + vectorized IDCT +
     fancy chroma upsample; see ``jpeg.py``), differential-tested against
-    javax.imageio / libjpeg within the T.81 conformance tolerance. Only
-    arithmetic coding and 12-bit raise NotImplementedError.
+    javax.imageio / libjpeg within the T.81 conformance tolerance. Adobe
+    APP14 transform=0 (stored-RGB) is honored. Only arithmetic coding,
+    12-bit precision and 4-component CMYK/YCCK raise NotImplementedError.
   * ``wav``  — REAL decoder/encoder for RIFF/WAVE PCM audio (8/16/32-bit
     int + 32-bit float, any channel count), plus ``audio_featurize``
     (duration / RMS / zero-crossing rate / peak per channel).
@@ -620,10 +621,10 @@ def decode_and_featurize(
 ) -> DataFrame:
     """mapInPandas decode + feature extraction (mean/std/min/max of pixels).
 
-    ``codec='auto'`` dispatches per blob by magic bytes: BMP decodes for
-    real; the synthetic IMG format uses the fake decoder; PNG/JPEG raise
-    NotImplementedError (library codecs). ``fake=True`` forces the fake
-    decoder (back-compat for plumbing tests)."""
+    ``codec='auto'`` dispatches per blob by magic bytes: BMP, PNG and JPEG
+    decode for real (see module docstring); the synthetic IMG format uses
+    the fake decoder. ``fake=True`` forces the fake decoder (back-compat
+    for plumbing tests)."""
     forced = "fake" if fake else codec
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

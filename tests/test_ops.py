@@ -82,6 +82,31 @@ def test_simhash_pigeonhole_full_recall(spark):
     assert got_df["hamming"].max() <= 3
 
 
+def test_simhash_max_hamming_zero(docs):
+    """max_hamming=0 => one 64-bit block; the full-width mask used to
+    overflow Spark's signed long literal at plan time (ADVICE r3)."""
+    pairs = dedup.simhash_dup_pairs(docs, max_hamming=0).toPandas()
+    got = {tuple(x) for x in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    # 0/1 exact dup, 2 differs only by case/whitespace (tokens identical)
+    assert got == {(0, 1), (0, 2), (1, 2)}
+    assert (pairs["hamming"] == 0).all()
+
+
+def test_jpeg_cmyk_raises():
+    """4-component (Adobe CMYK/YCCK) JPEGs raise NotImplementedError at SOF
+    parse instead of an opaque unpack error deep in reconstruction."""
+    import struct as _struct
+
+    from fia_own_map_spark.operators.jpeg import decode_jpeg
+
+    sof = _struct.pack(">BHHB", 8, 16, 16, 4) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0]
+    )
+    blob = b"\xff\xd8" + b"\xff\xc0" + _struct.pack(">H", 2 + len(sof)) + sof
+    with pytest.raises(NotImplementedError, match="4-component"):
+        decode_jpeg(blob)
+
+
 def test_lang_id(docs):
     got = dict(
         docs.select("doc_id", text.lang_id("text").alias("l")).toPandas().values
@@ -616,6 +641,69 @@ def test_wav_codec_differential_stdlib():
     assert rf == 44100 and np.allclose(sf_[:, 0], [0.5, -0.25, 1.0])
     with pytest.raises(NotImplementedError):
         multimodal.decode_wav(wav_blob(85, 16, b"\0\0"))  # MP3-in-WAV
+
+
+def test_jpeg_adobe_app14_transform0():
+    """A 3-component JPEG whose Adobe APP14 marker says transform=0 stores
+    RGB planes directly — the decoder must skip the YCbCr->RGB transform.
+    Checked by splicing an APP14 t=0 segment into a javax-encoded YCbCr
+    stream: the spliced decode returns the stored planes, so applying the
+    YCbCr formula to them must reproduce the unspliced decode (+/-2 for the
+    intermediate uint8 rounding)."""
+    import shutil
+    import struct as _struct
+    import subprocess
+    import tempfile
+
+    from fia_own_map_spark.operators.jpeg import decode_jpeg
+
+    if not shutil.which("javac") or not shutil.which("java"):
+        pytest.skip("no JDK in environment")
+    src_dir = tempfile.mkdtemp()
+    try:
+        # reuse the JpegTool source embedded in the JPEG differential test
+        import re
+
+        import numpy as np
+
+        with open(__file__) as f:
+            tool_src = [s for s in re.findall(r'src = r"""(.*?)"""', f.read(), re.S)
+                        if "JpegTool" in s][0]
+        h, w = 16, 24
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(128 + 90 * np.sin(xx / 4 + b) * np.cos(yy / 6 + b)).astype(np.uint8) for b in range(3)],
+            axis=2,
+        )
+        with open(f"{src_dir}/JpegTool.java", "w") as f:
+            f.write(tool_src)
+        subprocess.run(["javac", f"{src_dir}/JpegTool.java"], check=True, cwd=src_dir)
+        img.tofile(f"{src_dir}/raw.bin")
+        subprocess.run(
+            ["java", "-cp", src_dir, "JpegTool", "enc", f"{src_dir}/raw.bin",
+             str(w), str(h), "3", f"{src_dir}/t.jpg", "0.95", "base"],
+            check=True,
+        )
+        blob = open(f"{src_dir}/t.jpg", "rb").read()
+        app14 = b"Adobe" + bytes(6) + bytes([0])  # version/flags zeroed, t=0
+        spliced = (
+            blob[:2] + b"\xff\xee" + _struct.pack(">H", 2 + len(app14)) + app14 + blob[2:]
+        )
+        rgb = decode_jpeg(blob).astype(np.float64)
+        planes = decode_jpeg(spliced).astype(np.float64)  # stored YCbCr, unconverted
+        y, cb, cr = planes[:, :, 0], planes[:, :, 1], planes[:, :, 2]
+        reconv = np.stack(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ],
+            axis=2,
+        )
+        reconv = np.clip(np.round(reconv), 0, 255)
+        assert np.abs(reconv - rgb).max() <= 2
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
 
 
 def test_avi_mjpeg_container_roundtrip():
