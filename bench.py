@@ -41,6 +41,7 @@ HEADLINE = [
     "er_score_pairs",
     "dedup_exact_keep",
     "dedup_minhash_fast",
+    "dedup_simhash_pairs",
     "text_quality",
     "text_lang_id",
     "ann_cosine_topk",

@@ -220,15 +220,65 @@ def hash64(s: str) -> int:
     return h
 
 
+def _fnv1a64_batch(tokens: list[str]) -> np.ndarray:
+    """Vectorized FNV-1a over a padded uint8 matrix: bit-identical to
+    ``hash64`` per token but the Python-level loop is over MAX TOKEN LENGTH
+    (byte positions), not total bytes — the same trick as the JW kernel.
+    Returns uint64 hashes aligned with the input list."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    enc = [t.encode("utf-8") for t in tokens]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
+    maxlen = int(lens.max())
+    mat = np.zeros((len(enc), maxlen), dtype=np.uint8)
+    for i, b in enumerate(enc):  # row copy, not per byte
+        mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    h = np.full(len(enc), 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(maxlen):
+        live = j < lens
+        h = np.where(live, (h ^ mat[:, j]) * prime, h)
+    return h
+
+
+def _simhash64_batch(token_lists: list[list[str]]) -> np.ndarray:
+    """Vectorized simhash over many docs: hash each DISTINCT token once
+    (vectorized FNV), expand via inverse indices, per-doc ±1 sign-sums via
+    ``np.add.reduceat`` over doc boundaries. Bit-identical to
+    ``_simhash64`` per doc (the tested invariant)."""
+    ntoks = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
+    flat = [t for toks in token_lists for t in toks]
+    out = np.zeros(len(token_lists), dtype=np.int64)
+    nonempty = ntoks > 0
+    if not flat:
+        return out
+    inverse, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    all_hashes = _fnv1a64_batch(list(uniq))[inverse]  # (total_tokens,) uint64
+    # doc start offsets over the flattened token stream (non-empty docs only)
+    ends = np.cumsum(ntoks)
+    offsets = (ends - ntoks)[nonempty]
+    ntoks_ne = ntoks[nonempty]
+    bitsum = np.empty((len(offsets), 64), dtype=np.int64)
+    for b in range(64):  # 64 vectorized passes, not total_tokens iterations
+        col = ((all_hashes >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        bitsum[:, b] = np.add.reduceat(col, offsets)
+    # acc = (+1 per set bit, -1 per clear bit) = 2*bitsum - ntok; bit set iff acc > 0
+    set_bits = (2 * bitsum) > ntoks_ne[:, None]
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    fp = (set_bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = fp.view(np.int64)
+    return out
+
+
 @pandas_udf(LongType())
 def _simhash_udf(texts: pd.Series) -> pd.Series:
-    out = []
-    for t in texts:
-        if t is None:
-            out.append(None)
-        else:
-            out.append(_simhash64(t.lower().split()))
-    return pd.Series(out, dtype="Int64")
+    mask = texts.notna()
+    token_lists = [t.lower().split() for t in texts[mask]]
+    vals = _simhash64_batch(token_lists)
+    out = pd.Series(np.zeros(len(texts), dtype=np.int64), index=texts.index, dtype="Int64")
+    out[~mask] = None
+    out[mask] = vals
+    return out
 
 
 def simhash(col: Column | str) -> Column:

@@ -92,6 +92,30 @@ def test_simhash_max_hamming_zero(docs):
     assert (pairs["hamming"] == 0).all()
 
 
+def test_simhash_batch_bit_identical():
+    """The vectorized simhash path (padded-matrix FNV + reduceat sign-sum)
+    must be BIT-IDENTICAL to the per-token reference `_simhash64` — that is
+    what keeps `dedup_simhash_pairs` row counts stable across the r4
+    vectorization."""
+    import random
+
+    from fia_own_map_spark.operators.dedup import (
+        _fnv1a64_batch,
+        _simhash64,
+        _simhash64_batch,
+        hash64,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(200)] + ["héllo", "naïve", "東京", "", "x" * 55, "Ω≈ç√"]
+    docs = [[rng.choice(vocab) for _ in range(rng.randrange(0, 40))] for _ in range(300)]
+    docs.append([])  # zero-token doc → fingerprint 0 on both paths
+    expect = np.array([_simhash64(d) for d in docs], dtype=np.int64)
+    got = _simhash64_batch(docs)
+    assert (expect == got).all()
+    assert [int(h) for h in _fnv1a64_batch(vocab)] == [hash64(t) for t in vocab]
+
+
 def test_jpeg_cmyk_raises():
     """4-component (Adobe CMYK/YCCK) JPEGs raise NotImplementedError at SOF
     parse instead of an opaque unpack error deep in reconstruction."""
