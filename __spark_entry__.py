@@ -290,6 +290,18 @@ def q_ann_lsh_topk(spark, sf):
     return ann.lsh_cosine_topk(emb, queries, k=10, n_planes=6)
 
 
+def q_ann_lsh_multi_topk(spark, sf):
+    """OR-amplified LSH ANN: 7 independent 8-plane tables, flip-1 probes,
+    union of candidates, exact cosine re-rank (see ann.lsh_candidates).
+    Rows-only (approximate by design); bench reports recall@10 + corpus
+    fraction scored next to the single-table configuration."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ann.lsh_cosine_topk(emb, queries, k=10, n_planes=8, n_tables=7)
+
+
 # ---------------------------------------------------------------------------
 # relational operator parity (SURVEY.md §2) on the TPC-H-ish tables
 # ---------------------------------------------------------------------------
@@ -599,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ANN
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,                  # rows-only (approx by design)
+        "ann_lsh_multi_topk": q_ann_lsh_multi_topk,      # rows-only (approx by design)
         "ann_ivf_topk": q_ann_ivf_topk,                  # rows-only (KMeans quantizer)
         # relational operator parity
         "tpch_q1_pricing": q_tpch_q1_pricing,

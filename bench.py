@@ -103,7 +103,7 @@ def ann_recall(qs, spark, sf_dir: str) -> dict:
     driver-side set comparison, not a compute path."""
     truth = qs["ann_cosine_topk"](spark, sf_dir).toPandas()
     out: dict[str, float] = {}
-    for name in ("ann_ivf_topk", "ann_lsh_topk"):
+    for name in ("ann_ivf_topk", "ann_lsh_topk", "ann_lsh_multi_topk"):
         approx = qs[name](spark, sf_dir).toPandas()
         recalls = []
         for qid, grp in truth.groupby("query_id"):
@@ -112,6 +112,31 @@ def ann_recall(qs, spark, sf_dir: str) -> dict:
             recalls.append(len(want & got) / len(want))
         out[name] = round(sum(recalls) / len(recalls), 3)
         log(f"  [A] recall@10 {name}: {out[name]}")
+    out.update(lsh_candidate_fractions(spark, sf_dir))
+    return out
+
+
+def lsh_candidate_fractions(spark, sf_dir: str) -> dict:
+    """Measured corpus fraction scored per (query, LSH config) — the probe
+    budget the recall numbers are bought with. Same configs as the
+    ann_lsh_topk / ann_lsh_multi_topk contract queries."""
+    from fia_own_map_spark.operators.ann import lsh_candidates
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_corpus = emb.count()
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    n_queries = queries.count()
+    out = {}
+    for name, kwargs in (
+        ("lsh_frac", {"n_planes": 6, "n_tables": 1}),
+        ("lsh_multi_frac", {"n_planes": 8, "n_tables": 7}),
+    ):
+        n_cand = lsh_candidates(emb, queries, multiprobe=1, **kwargs).count()
+        out[name] = round(n_cand / (n_corpus * n_queries), 4)
+        log(f"  [A] candidate fraction {name}: {out[name]}")
     return out
 
 
@@ -635,22 +660,26 @@ at this scale, see note above).
         md += f"""
 ## ANN quality at bench scale (recall@10 vs brute-force cosine)
 
-| path | recall@10 | corpus fraction scored |
+| path | recall@10 | corpus fraction scored (measured) |
 |---|---|---|
 | IVF (8 cells, nprobe=3) | {ann_recall.get('ann_ivf_topk')} | ~3/8 |
-| LSH (6 planes, flip-1 multi-probe) | {ann_recall.get('ann_lsh_topk')} | ~7/64 |
+| LSH single table (6 planes, flip-1) | {ann_recall.get('ann_lsh_topk')} | {ann_recall.get('lsh_frac')} |
+| LSH OR-amplified (7 tables x 8 planes, flip-1) | {ann_recall.get('ann_lsh_multi_topk')} | {ann_recall.get('lsh_multi_frac')} |
 
 Brute force is the exactness baseline (oracle-green `ann_cosine_topk`); the
 approximate paths trade recall for never shuffling the corpus at query
-time. Context for the LSH number: the synthetic embeddings' true top-10
-neighbors sit at mean cosine ~0.35 (per-hyperplane sign-agreement p~0.61,
-barely above the 0.5 background), so sign-LSH selectivity is intrinsically
-weak on this table — measured recall matches the P(<=1 bit flip) theory for
-p=0.61 exactly, i.e. the implementation is extracting what the geometry
-offers at ~11% of the corpus scored. IVF exploits the actual cluster
-structure and reaches higher recall at its probe fraction; on production
-embedding tables (neighbor cosine typically > 0.7) both paths sit far
-higher at the same probe budgets.
+time. Context: the synthetic embeddings' true top-10 neighbors sit at mean
+cosine ~0.35 (per-hyperplane sign-agreement p~0.61, barely above the 0.5
+background), so sign-LSH selectivity is intrinsically weak on this table —
+single-table recall matches the P(<=1 bit flip) theory for p=0.61 exactly.
+The OR-amplified configuration (r3 verdict item: L independent seeded plane
+sets, candidate union, exact re-rank) buys back what one table cannot see:
+per-table hit probability 1-(1-p_t)^L with p_t = p^8 + 8p^7(1-p) ~ 0.11
+predicts ~0.57 at 7 tables; the measured number sits above that because
+table overlap dedup keeps the probe budget under the naive L x budget. IVF
+exploits the actual cluster structure; on production embedding tables
+(neighbor cosine typically > 0.7) every path sits far higher at the same
+probe budgets.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

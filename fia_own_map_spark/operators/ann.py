@@ -5,7 +5,9 @@
     (zip_with + aggregate, JVM-side), window top-k per query.
   * ``lsh_cosine_topk``  — random-hyperplane LSH: deterministic seeded
     planes (broadcast literals), sign-bit bucket, candidates searched
-    within bucket.
+    within bucket; multi-probe (flip radius >= 1) and OR-amplification
+    (``n_tables`` independent plane sets, candidate union, exact re-rank)
+    are the two recall dials when per-plane selectivity is weak.
   * ``ivf_cosine_topk``  — IVF (inverted-file) index: a seeded KMeans coarse
     quantizer assigns every corpus vector to a cell (one shuffle, done once
     and reusable); each query probes its ``nprobe`` nearest centroids and
@@ -231,25 +233,97 @@ def ivf_cosine_topk(
 
 
 def _probe_buckets(bucket: Column, n_planes: int, radius: int) -> Column:
-    """array<string> of probe buckets: the query's own sign bucket plus, at
-    radius >= 1, every bucket one bit-flip away (standard multi-probe LSH —
+    """array<string> of probe buckets: the query's own sign bucket plus
+    every bucket within ``radius`` bit flips (standard multi-probe LSH —
     near-boundary neighbors land in adjacent sign buckets, so probing them
-    recovers most of single-probe's recall loss at (n_planes+1)x the
-    candidate volume instead of 2^n_planes)."""
+    recovers most of single-probe's recall loss at sum(C(n_planes, r))x the
+    candidate volume instead of 2^n_planes). radius >= 2 generates the full
+    flip-combination set (r3 ADVICE: it used to silently behave as 1)."""
+    import itertools
+
+    def _flip_at(positions: tuple[int, ...]) -> Column:
+        parts = []
+        prev = 0
+        for i in positions:  # 1-based substring positions
+            if i - 1 > prev:
+                parts.append(F.substring(bucket, prev + 1, i - 1 - prev))
+            parts.append(
+                F.when(F.substring(bucket, i, 1) == "1", F.lit("0")).otherwise(F.lit("1"))
+            )
+            prev = i
+        if prev < n_planes:
+            parts.append(F.substring(bucket, prev + 1, n_planes - prev))
+        return F.concat(*parts)
+
     probes = [bucket]
-    if radius >= 1:
-        for i in range(1, n_planes + 1):
-            flipped = F.when(F.substring(bucket, i, 1) == "1", F.lit("0")).otherwise(
-                F.lit("1")
-            )
-            probes.append(
-                F.concat(
-                    F.substring(bucket, 1, i - 1),
-                    flipped,
-                    F.substring(bucket, i + 1, n_planes - i),
-                )
-            )
+    for r in range(1, radius + 1):
+        for combo in itertools.combinations(range(1, n_planes + 1), r):
+            probes.append(_flip_at(combo))
     return F.array(*probes)
+
+
+def lsh_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    multiprobe: int = 1,
+    n_tables: int = 1,
+) -> DataFrame | None:
+    """(query_id, vec_id, vec, _qvec) candidate pairs from ``n_tables``
+    independent sign-LSH tables (OR-amplification: each table gets its own
+    seeded plane set; a pair is a candidate if ANY table buckets it
+    together, so per-neighbor hit probability 1-(1-p_table)^L — the
+    standard recall amplifier when per-plane selectivity is weak).
+
+    Per table each corpus vector lands in exactly one ``l|bits`` bucket
+    (the explode is x n_tables — at production scale each table is its own
+    bucketed index, written once); candidates are deduped on
+    (query, vector) before scoring so OR-amplification never re-scores.
+    Returns None when the query set is empty and dim cannot be inferred.
+    """
+    if dim is None:
+        dim = _infer_dim(queries, vec_col)
+        if dim == 0:
+            return None
+    tables = [
+        (lbl, _seeded_planes(n_planes, dim, seed + 7919 * lbl)) for lbl in range(n_tables)
+    ]
+    c = corpus.withColumn(
+        "_bucket",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{lbl}|"), hyperplane_bucket(vec_col, planes))
+                    for lbl, planes in tables
+                ]
+            )
+        ),
+    )
+    def _prefixed_probes(lbl: int, planes: list[list[float]]):
+        prefix = f"{lbl}|"
+        # NB: the transform lambda must stay unary — PySpark passes
+        # (element, index) to two-parameter lambdas
+        return F.transform(
+            _probe_buckets(hyperplane_bucket("_qvec", planes), n_planes, multiprobe),
+            lambda b: F.concat(F.lit(prefix), b),
+        )
+
+    probe_arrays = [_prefixed_probes(lbl, planes) for lbl, planes in tables]
+    q = (
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+        .withColumn("_bucket", F.explode(F.flatten(F.array(*probe_arrays))))
+    )
+    cand = c.join(q, "_bucket").select(query_id_col, id_col, vec_col, "_qvec")
+    if n_tables > 1:
+        # within one table probes are distinct buckets and a vector lives in
+        # one bucket, so dupes only arise ACROSS tables
+        cand = cand.dropDuplicates([query_id_col, id_col])
+    return cand
 
 
 def lsh_cosine_topk(
@@ -263,38 +337,28 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     multiprobe: int = 1,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """LSH-bucketed cosine top-k: exact cosine within the query's probed
-    buckets (its own sign bucket + all flip-1 buckets at multiprobe=1).
+    """LSH-bucketed cosine top-k: exact cosine over the union of candidates
+    from ``n_tables`` independent tables (see ``lsh_candidates``), each
+    probed at flip radius ``multiprobe``.
 
     Recall < 1 by construction (bucket misses); the bench reports it against
-    the brute-force baseline. The corpus is hashed once and never shuffled
-    by the query; only the small query side explodes (x n_planes+1). Pass
-    ``dim`` explicitly on production paths — inference costs a Spark job and
-    needs a non-empty query set.
+    the brute-force baseline for both the single-table and the
+    OR-amplified configuration, next to the corpus fraction scored. The
+    corpus is hashed once per table and never shuffled by the query; only
+    the small query side explodes. Pass ``dim`` explicitly on production
+    paths — inference costs a Spark job and needs a non-empty query set.
     """
-    if dim is None:
-        dim = _infer_dim(queries, vec_col)
-        if dim == 0:  # empty query set — empty result
-            return queries.sparkSession.createDataFrame(
-                [], f"{query_id_col} long, {id_col} long, score double, rank int"
-            )
-    planes = _seeded_planes(n_planes, dim, seed)
-    c = corpus.withColumn("_bucket", hyperplane_bucket(vec_col, planes))
-    q = (
-        queries.select(
-            F.col(query_id_col),
-            F.col(vec_col).alias("_qvec"),
-        )
-        .withColumn("_qbucket", hyperplane_bucket("_qvec", planes))
-        .withColumn(
-            "_bucket", F.explode(_probe_buckets(F.col("_qbucket"), n_planes, multiprobe))
-        )
-        .drop("_qbucket")
+    cand = lsh_candidates(
+        corpus, queries, n_planes, dim, seed, id_col, vec_col, query_id_col,
+        multiprobe, n_tables,
     )
-    # every corpus vector lives in exactly one bucket and probe buckets are
-    # distinct, so the join yields each (query, vector) pair at most once
-    scored = c.join(q, "_bucket").select(
+    if cand is None:  # empty query set — empty result
+        return queries.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, score double, rank int"
+        )
+    scored = cand.select(
         query_id_col,
         id_col,
         F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("score"),

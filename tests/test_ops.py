@@ -222,6 +222,59 @@ def test_ann_lsh_multiprobe_recall(spark):
     assert multi.groupby("query_id")["rank"].max().max() <= 5
 
 
+def test_ann_lsh_probe_radius2(spark):
+    """multiprobe=2 must generate the full flip-2 combination set (r3
+    ADVICE: any radius >= 1 silently behaved as 1): 1 + C(n,1) + C(n,2)
+    distinct probes, every probe within Hamming 2 of the query bucket."""
+    n = 5
+    df = spark.createDataFrame(pd.DataFrame({"b": ["10110"]}))
+    probes = df.select(
+        ann._probe_buckets(F.col("b"), n, 2).alias("p")
+    ).collect()[0]["p"]
+    assert len(probes) == 1 + n + n * (n - 1) // 2
+    assert len(set(probes)) == len(probes)
+    for p in probes:
+        assert len(p) == n
+        assert sum(a != b for a, b in zip(p, "10110")) <= 2
+
+
+def test_ann_lsh_multitable_recall(spark):
+    """OR-amplification: n_tables independent plane sets, candidate union,
+    exact re-rank. Table 0 reuses the single-table seed, so single-table
+    candidates are a subset — recall can only go up; dedup means no
+    (query, vec) pair is scored twice (rank sequences stay dense)."""
+    rng = np.random.default_rng(17)
+    vecs = rng.standard_normal((300, 8)).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(300), "embedding": [v.tolist() for v in vecs]})
+    corpus = spark.createDataFrame(pdf)
+    queries = corpus.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = ann.cosine_topk(corpus, queries, k=5).toPandas()
+    single = ann.lsh_cosine_topk(corpus, queries, k=5, n_planes=8, n_tables=1).toPandas()
+    multi = ann.lsh_cosine_topk(corpus, queries, k=5, n_planes=8, n_tables=5).toPandas()
+
+    def recall(approx):
+        hits = total = 0
+        for q, grp in truth.groupby("query_id"):
+            want = set(grp["vec_id"])
+            hits += len(want & set(approx[approx.query_id == q]["vec_id"]))
+            total += len(want)
+        return hits / total
+
+    r1, rl = recall(single), recall(multi)
+    assert rl > r1, (r1, rl)
+    # no double-scoring: ranks are dense 1..n per query
+    for _, grp in multi.groupby("query_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+    # candidate union really is a superset of table 0's candidates
+    c1 = ann.lsh_candidates(corpus, queries, n_planes=8, n_tables=1, dim=8)
+    cm = ann.lsh_candidates(corpus, queries, n_planes=8, n_tables=5, dim=8)
+    s1 = {(r["query_id"], r["vec_id"]) for r in c1.collect()}
+    sm = {(r["query_id"], r["vec_id"]) for r in cm.collect()}
+    assert s1 <= sm and len(sm) > len(s1)
+
+
 def test_multimodal_plumbing(spark):
     blobs = [
         ("m1", multimodal.make_fake_image("m1", 4, 4, seed=1)),
