@@ -92,8 +92,48 @@ def phase_a(sf_dir: str, cpus: int) -> tuple[dict, float, dict]:
         log(f"  [A] {name}: {times[name]}s")
     total = round(time.time() - t_all, 3)
     recall = ann_recall(qs, spark, sf_dir)
+    codec = codec_bench(spark, cpus)
     spark.stop()
-    return times, total, recall
+    return times, total, recall, codec
+
+
+def codec_bench(spark, cpus: int) -> dict:
+    """Image-decode throughput through the real Spark surface (mapInPandas
+    decode_and_featurize): deterministic 96x96 RGB PNG corpus, half
+    filter-0 (None) and half filter-4 (Paeth) scanlines, so the wavefront
+    unfilter path is on the clock (r3 verdict item #6). Reports the warm
+    repeat — the corpus is tiny, so rep 1 would be all scheduling."""
+    import numpy as np
+    import pandas as pd
+
+    from fia_own_map_spark.operators import multimodal
+
+    n_images, side = 192, 96
+    yy, xx = np.mgrid[0:side, 0:side]
+    blobs = []
+    for i in range(n_images):
+        img = np.stack(
+            [
+                (128 + 100 * np.sin(xx / (3 + (i + b) % 7) + b) * np.cos(yy / (4 + i % 5)))
+                .astype(np.uint8)
+                for b in range(3)
+            ],
+            axis=2,
+        )
+        blobs.append((f"img{i}", multimodal.encode_png(img, filter_type=4 if i % 2 else 0)))
+    df = spark.createDataFrame(pd.DataFrame(blobs, columns=["media_id", "blob"])).repartition(
+        cpus
+    )
+    out = {}
+    for rep in range(2):
+        t0 = time.time()
+        _materialize(multimodal.decode_and_featurize(df, codec="auto"))
+        dt = time.time() - t0
+    out["codec_images_per_sec"] = round(n_images / dt, 1)
+    out["codec_px_per_sec"] = round(n_images * side * side / dt, 0)
+    log(f"  [A] codec decode: {out['codec_images_per_sec']} images/s "
+        f"({n_images} x {side}x{side} PNG, half Paeth)")
+    return out
 
 
 def ann_recall(qs, spark, sf_dir: str) -> dict:
@@ -563,7 +603,9 @@ def phase_b(
     }
 
 
-def write_baseline_md(scaling: dict, ann_recall: dict | None = None) -> None:
+def write_baseline_md(
+    scaling: dict, ann_recall: dict | None = None, codec: dict | None = None
+) -> None:
     lo, hi = scaling["local8"], scaling["local32"]
     kb = scaling["kernel_best"]
     k2, k8, k32 = kb[2], kb[8], kb[32]
@@ -681,6 +723,20 @@ exploits the actual cluster structure; on production embedding tables
 (neighbor cosine typically > 0.7) every path sits far higher at the same
 probe budgets.
 """
+    if codec:
+        md += f"""
+## Pure-numpy codec decode throughput (Spark mapInPandas surface)
+
+{codec.get('codec_images_per_sec')} images/s ({codec.get('codec_px_per_sec')}
+px/s) on a 192 x 96x96 RGB PNG corpus, alternating filter-0 and filter-4
+(Paeth) scanlines, through `decode_and_featurize` (warm repeat). The
+Average/Paeth unfilter runs as an anti-diagonal wavefront (rows+pixels
+numpy steps, bit-exact vs the per-byte spec loop — `multimodal.py
+_wavefront_unfilter`); remaining decode cost is zlib inflate + feature
+reduction. A production deployment swaps libjpeg-turbo/ffmpeg into the
+same dispatch (documented in `multimodal.py`); the Spark-side shape
+(Arrow batches, per-executor decode, schema) is what this row evidences.
+"""
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
@@ -691,12 +747,12 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     os.makedirs(CACHE, exist_ok=True)
 
-    queries, total, recall = phase_a(sf_dir, cpus)
+    queries, total, recall, codec = phase_a(sf_dir, cpus)
 
     scaling = None
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         scaling = phase_b()
-        write_baseline_md(scaling, recall)
+        write_baseline_md(scaling, recall, codec)
 
     result = {
         "metric": "headline_suite_e2e",
@@ -705,6 +761,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "ann_recall_at_10": recall,
+        "codec": codec,
     }
     if scaling:
         result["scaling"] = {

@@ -72,7 +72,20 @@ def exploded_metaphone_keys(
     exploded = df.select(
         F.col(id_col), F.explode(fingerprint_col).alias("_fp")
     ).filter(F.length("_fp") > 0)
-    distinct_fp = exploded.select("_fp").distinct().withColumn(key_col, dm_primary("_fp"))
+    # repartition between the distinct and the UDF: AQE's size-based
+    # coalescing sees a few MB of distinct fingerprints and would fold the
+    # stage to one partition — correct for a shuffle, wrong for a Python-UDF
+    # stage whose cost is per ROW, not per byte. An explicit repartition on
+    # the fingerprint pins the UDF stage at the job-level shuffle width.
+    # (explicit width: a bare .repartition(col) still participates in AQE
+    # coalescing; a numbered one is left alone)
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    distinct_fp = (
+        exploded.select("_fp")
+        .distinct()
+        .repartition(width, "_fp")
+        .withColumn(key_col, dm_primary("_fp"))
+    )
     return (
         exploded.join(distinct_fp, "_fp")
         .filter(F.length(key_col) > 0)

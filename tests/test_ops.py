@@ -116,6 +116,33 @@ def test_simhash_batch_bit_identical():
     assert [int(h) for h in _fnv1a64_batch(vocab)] == [hash64(t) for t in vocab]
 
 
+def test_png_wavefront_unfilter_exact():
+    """The anti-diagonal wavefront Average/Paeth unfilter must be bit-exact
+    vs the per-byte reference rows (_paeth_row/_avg_row) for every bpp and
+    for mixed 3/4 runs — the r4 replacement for the per-byte Python loop."""
+    from fia_own_map_spark.operators.multimodal import (
+        _avg_row,
+        _paeth_row,
+        _wavefront_unfilter,
+    )
+
+    rng = np.random.default_rng(3)
+    for bpp in (1, 2, 3, 4, 6, 8):
+        rows, px = 17, 23
+        rowbytes = px * bpp
+        filt = rng.integers(0, 256, (rows, rowbytes), dtype=np.uint8)
+        kinds = rng.choice([3, 4], rows).astype(np.uint8)
+        prev = rng.integers(0, 256, rowbytes).astype(np.int16)
+        got = _wavefront_unfilter(filt, kinds, prev, bpp)
+        exp = np.empty_like(got)
+        p = prev.copy()
+        for y in range(rows):
+            fn = _paeth_row if kinds[y] == 4 else _avg_row
+            exp[y] = fn(filt[y].astype(np.int16), p, bpp).astype(np.uint8)
+            p = exp[y].astype(np.int16)
+        assert (got == exp).all(), bpp
+
+
 def test_jpeg_cmyk_raises():
     """4-component (Adobe CMYK/YCCK) JPEGs raise NotImplementedError at SOF
     parse instead of an opaque unpack error deep in reconstruction."""
