@@ -100,6 +100,26 @@ def q_er_blocking_keys(spark, sf):
     return exploded_metaphone_keys(docs, id_col="url").orderBy("url", "block_key")
 
 
+def q_er_blocking_keys_soundex(spark, sf):
+    """BOTH blocking-key families end-to-end (blocking.blocking_keys with
+    include_soundex=True, VERDICT r3 item #8): metaphone keys over token
+    combos plus one ``SX:``-prefixed JVM-soundex key per name token.
+    Value-checked: the DuckDB oracle joins the vendored, PG-cross-checked
+    token -> soundex map (tests/data/sx_keys_sf001.csv, regenerate with
+    tools/gen_sx_oracle_map.py) next to the DM map."""
+    from fia_own_map_spark.operators.blocking import blocking_keys
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.split(_doc_name(4), " ").alias("tokens"),
+    )
+    docs = docs.repartition(spark.sparkContext.defaultParallelism).withColumn(
+        "name_keys", normalized_name_keys("tokens")
+    )
+    keys = blocking_keys(docs, id_col="url", class_col=None, include_soundex=True)
+    return keys.orderBy("url", "block_key")
+
+
 def q_er_cluster_documents(spark, sf):
     docs = _t(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("url"),
@@ -600,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_normalize_ascii": q_er_normalize_ascii,
         "er_token_fingerprint": q_er_token_fingerprint,
         "er_blocking_keys": q_er_blocking_keys,          # value-checked (vendored DM map)
+        "er_blocking_keys_soundex": q_er_blocking_keys_soundex,  # value-checked (DM + SX maps)
         "er_cluster_documents": q_er_cluster_documents,  # value-checked (vendored DM map)
         "er_cluster_fingerprint": q_er_cluster_fingerprint,
         "er_score_pairs": q_er_score_pairs,
@@ -657,6 +678,9 @@ def oracle_sql() -> dict[str, str]:
     dm_csv = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tests", "data", "dm_keys_sf001.csv"
     )
+    sx_csv = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "data", "sx_keys_sf001.csv"
+    )
     dm_keys_ctes = f"""
             docs AS (SELECT doc_id::VARCHAR AS url,
                             string_split({_DOC_NAME_SQL.format(k=4)}, ' ') AS toks
@@ -682,6 +706,19 @@ def oracle_sql() -> dict[str, str]:
         "er_blocking_keys": f"""
             WITH {dm_keys_ctes}
             SELECT url, block_key FROM keys ORDER BY url, block_key
+        """,
+        "er_blocking_keys_soundex": f"""
+            WITH {dm_keys_ctes},
+            sx AS (SELECT DISTINCT d.url, 'SX:' || m.code AS block_key
+                   FROM (SELECT url, t.tok FROM docs, unnest(docs.toks) AS t(tok)
+                         WHERE length(t.tok) > 1) d
+                   JOIN read_csv('{sx_csv}', header=true,
+                                 columns={{'tok':'VARCHAR','code':'VARCHAR'}}) m
+                     ON d.tok = m.tok)
+            SELECT url, block_key FROM keys
+            UNION ALL
+            SELECT url, block_key FROM sx
+            ORDER BY url, block_key
         """,
         "er_cluster_documents": f"""
             WITH RECURSIVE {dm_keys_ctes},

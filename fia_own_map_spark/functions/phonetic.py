@@ -529,3 +529,43 @@ def dm_codes(col: Column | str) -> Column:
 def soundex_key(col: Column | str) -> Column:
     """Soundex blocking key — Spark built-in, stays JVM-side."""
     return F.soundex(F.col(col) if isinstance(col, str) else col)
+
+
+# American Soundex letter codes (NARA variant): digit per letter A-Z;
+# '0' = vowel-ish separator (resets the run), '7' = H/W (ignored, does NOT
+# reset the run — the rule PostgreSQL fuzzystrmatch omits).
+_SOUNDEX_CODE = "01230127022455012623017202"
+
+
+def soundex_py(value: str | None) -> str | None:
+    """Pure-Python oracle mirror of Spark's built-in ``soundex`` (American
+    Soundex, NARA H/W rule) — differential-tested bit-exact against
+    ``F.soundex`` and cross-checked vs PostgreSQL fuzzystrmatch in
+    tests/test_phonetic.py. Non-letter-initial strings pass through
+    unchanged; interior non-letters are skipped but RESET the duplicate
+    run (act as separators), matching the JVM implementation."""
+    if value is None:
+        return None
+    if not value:
+        return value
+    first = value[0].upper()
+    if not ("A" <= first <= "Z"):
+        return value
+    out = [first, "0", "0", "0"]
+    oi = 1
+    last = _SOUNDEX_CODE[ord(first) - ord("A")]
+    for ch in value[1:]:
+        c = ch.upper()
+        if not ("A" <= c <= "Z"):
+            last = "0"  # separator: resets the duplicate run
+            continue
+        code = _SOUNDEX_CODE[ord(c) - ord("A")]
+        if code == "7":  # H/W: invisible to the run
+            continue
+        if code != "0" and code != last:
+            out[oi] = code
+            oi += 1
+            if oi > 3:
+                break
+        last = code
+    return "".join(out)

@@ -15,15 +15,16 @@ SoCC'14): alternate
   small-star(u): over edges oriented high->low, emit (v, m) for
                  v ∈ N(u) ∪ {u}, m = min(N(u) ∪ {u})
 
-until the edge set is stable — O(log n) rounds. Each round is two window
-exchanges plus one distinct (see _large_star); lineage is truncated per round with
+until the edge set is stable — O(log n) rounds. Each round is two
+skew-safe groupBy+join min computations plus one distinct (see
+_large_star for why NOT windows); lineage is truncated per round with
 ``localCheckpoint`` (on a production cluster: reliable checkpoint / Iceberg
 iteration table, SURVEY.md §7.4.9).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -39,21 +40,24 @@ def _canonical(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Both stars are WINDOW formulations, not groupBy+join: min(N(u) ∪ u)
-    as an unbounded window over partitionBy(src) costs ONE exchange where
-    the agg+self-join costs two (plus a join), and halves the per-round
-    plan that Catalyst must re-compile every iteration. Skew profile is
-    identical (both hash-partition the symmetrized edges by src). No
+    """min(N(u) ∪ u) via groupBy + join, deliberately NOT a window: the
+    hub of a large component has degree ≈ component size, and a window over
+    partitionBy(src) puts that hub's whole neighborhood in ONE task with no
+    remedy (AQE cannot split window partitions) — measured 22x anti-scaling
+    at the 800k-page bench corpus. The groupBy computes partial (map-side)
+    mins, so the skewed key reduces to one tiny row, and the join back is a
+    plain equi-join that AQE's skew-join splitting CAN divide. No
     .distinct() on large-star output: it is bounded by |sym| = 2|E| rows
     either way; small-star's final distinct (which defines the round's
-    canonical edge set for the convergence signature) dedups once per
-    round instead of twice."""
+    canonical edge set for the convergence signature) dedups once per round
+    instead of twice."""
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    w = Window.partitionBy("src")
+    mins = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+    mins = mins.select("src", F.least("_mn", F.col("src")).alias("m"))
     return (
-        sym.withColumn("m", F.least(F.min("dst").over(w), F.col("src")))
+        sym.join(mins, "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
@@ -64,10 +68,9 @@ def _small_star(edges: DataFrame) -> DataFrame:
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).filter(F.col("src") != F.col("dst"))
-    w = Window.partitionBy("src")
-    withm = oriented.withColumn("m", F.min("dst").over(w))
-    nbrs = withm.select(F.col("dst").alias("v"), F.col("m"))
-    selfs = withm.select(F.col("src").alias("v"), F.col("m"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    nbrs = oriented.join(mins, "src").select(F.col("dst").alias("v"), F.col("m"))
+    selfs = mins.select(F.col("src").alias("v"), F.col("m"))
     return (
         nbrs.unionByName(selfs)
         .filter(F.col("v") != F.col("m"))

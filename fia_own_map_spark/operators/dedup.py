@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
@@ -58,8 +58,13 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     """(id, content_hash, canonical_id): canonical = min(id) per hash."""
     h = F.md5(normalized_text(text_col)).alias("content_hash")
     with_hash = df.select(F.col(id_col), h)
-    w = Window.partitionBy("content_hash")
-    return with_hash.withColumn("canonical_id", F.min(id_col).over(w))
+    # groupBy + join back, not a window over the hash: a pathological
+    # corpus (one document repeated millions of times) makes the window's
+    # partition a single spilling task; the agg reduces map-side
+    mins = with_hash.groupBy("content_hash").agg(F.min(id_col).alias("canonical_id"))
+    return with_hash.join(mins, "content_hash").select(
+        id_col, "content_hash", "canonical_id"
+    )
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -161,17 +166,21 @@ def minhash_lsh_pairs(
         "shingles",
         F.explode(lsh_bands("sig", n_bands, rows_per_band, hash_family)).alias("band"),
     )
-    w_band = Window.partitionBy("band")
-    # persist: this table feeds the band-size window AND both sides of the
-    # self-join — without it the whole shingle+signature projection is
-    # recomputed (and re-codegen'd) three times. At production scale this
-    # intermediate is checkpointed to a table instead. swap_cached releases
-    # the previous invocation's copy so repeated calls don't leak.
+    # bucket-size cap via groupBy + join, not a count window: the window
+    # would put a degenerate mega-bucket (the thing the cap exists to
+    # catch!) into one spilling task just to count it. The tiny size table
+    # broadcasts.
+    band_sizes = banded.groupBy("band").agg(F.count(F.lit(1)).alias("_bsz"))
+    # persist: this table feeds both sides of the self-join — without it
+    # the whole shingle+signature projection is recomputed (and
+    # re-codegen'd) per consumer. At production scale this intermediate is
+    # checkpointed to a table instead. swap_cached releases the previous
+    # invocation's copy so repeated calls don't leak.
     banded = swap_cached(
         f"minhash_banded:{hash_family}",
-        banded.withColumn("_bsz", F.count(F.lit(1)).over(w_band))
+        banded.join(band_sizes, "band")
         .filter(F.col("_bsz") <= max_bucket_size)
-        .drop("_bsz"),
+        .select(id_col, "shingles", "band"),
     )
     left = banded.select(
         F.col("band"), F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
@@ -319,11 +328,13 @@ def simhash_dup_pairs(
         blocks.append(F.concat_ws(":", F.lit(i), val.cast("string")))
         lo += wdt
     bucketed = sh.withColumn("bucket", F.explode(F.array(*blocks)))
-    w_bucket = Window.partitionBy("bucket")
+    # groupBy + join, not a count window (see minhash_lsh_pairs: the cap
+    # must not itself single-task the mega bucket it guards against)
+    bucket_sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz"))
     bucketed = (
-        bucketed.withColumn("_bsz", F.count(F.lit(1)).over(w_bucket))
+        bucketed.join(bucket_sizes, "bucket")
         .filter(F.col("_bsz") <= max_bucket_size)
-        .drop("_bsz")
+        .select(id_col, "sh", "bucket")
     )
     a = bucketed.select("bucket", F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = bucketed.select("bucket", F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

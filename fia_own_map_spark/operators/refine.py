@@ -29,15 +29,29 @@ def refine_clusters_by_address(
     refine_classes: tuple[int, ...] = (CLASS_FAMILY,),
 ) -> DataFrame:
     """Split multi-address clusters for the refine_classes (family + juniors
-    are both own_type 45 in the reference, split via initial_class==3)."""
-    w_cluster = Window.partitionBy(cluster_col)
-    w_cluster_addr = Window.partitionBy(cluster_col, addr_col)
-    n_addr = F.size(F.collect_set(addr_col).over(w_cluster))
-    split_id = F.min(id_col).over(w_cluster_addr)
-    needs_split = F.col(class_col).isin(list(refine_classes)) & (n_addr > 1)
-    return clustered.withColumn(
-        cluster_col, F.when(needs_split, split_id).otherwise(F.col(cluster_col))
+    are both own_type 45 in the reference, split via initial_class==3).
+
+    Implemented as groupBy aggregations joined back, NOT windows over the
+    cluster partition: transitive closure produces a giant head component
+    (31k+ nodes at the 800k-page bench corpus), and a window puts that
+    cluster's every record in ONE spilling task (AQE cannot split window
+    partitions). The groupBy reduces map-side; the join back is
+    skew-splittable. ``_addr_k`` coalesces NULL addresses so the join
+    reproduces the window's null-as-a-group semantics exactly."""
+    cols = clustered.columns
+    df = clustered.withColumn("_addr_k", F.coalesce(F.col(addr_col), F.lit("\x00null")))
+    addr_counts = df.groupBy(cluster_col).agg(
+        F.count_distinct("_addr_k").alias("_n_addr")
     )
+    split_ids = df.groupBy(cluster_col, "_addr_k").agg(F.min(id_col).alias("_split_id"))
+    out = (
+        df.join(addr_counts, cluster_col)
+        .join(split_ids, [cluster_col, "_addr_k"])
+    )
+    needs_split = F.col(class_col).isin(list(refine_classes)) & (F.col("_n_addr") > 1)
+    return out.withColumn(
+        cluster_col, F.when(needs_split, F.col("_split_id")).otherwise(F.col(cluster_col))
+    ).select(*cols)
 
 
 def dedupe_first(df: DataFrame, key_cols: list[str], order_cols: list[Column | str]) -> DataFrame:
@@ -77,7 +91,10 @@ def stratified_sample(
 
 
 def cluster_size(df: DataFrame, cluster_col: str = "cluster_id") -> DataFrame:
-    """W1/A5: `Total_Parcels_Owned` analogue — count over cluster partition
-    (`Name_Matching_opt.py:242`)."""
-    w = Window.partitionBy(cluster_col)
-    return df.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    """W1/A5: `Total_Parcels_Owned` analogue — per-cluster row count
+    (`Name_Matching_opt.py:242`). groupBy + join back rather than a count
+    window: the giant head cluster would otherwise be a single spilling
+    window task (see refine_clusters_by_address). Cluster ids are non-null
+    by construction (url-derived)."""
+    counts = df.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("cluster_size"))
+    return df.join(counts, cluster_col).select(*df.columns, "cluster_size")

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fia_own_map_spark.config import CLASS_UNKNOWN, EngineConfig
@@ -200,9 +200,15 @@ def run_pipeline(
         with_nodes = named.join(
             labels.withColumnRenamed("id", "node_id"), "node_id", "left"
         ).withColumn("node_cluster", F.coalesce(F.col("node_cluster"), F.col("node_id")))
-        # stable record-level label: min(url) per node cluster
-        w_cluster = Window.partitionBy("node_cluster")
-        clustered = with_nodes.withColumn("cluster_id", F.min("url").over(w_cluster))
+        # stable record-level label: min(url) per node cluster. groupBy +
+        # join back, NOT a window over node_cluster: the giant head
+        # component (31k+ nodes / 100k+ records at the 800k-page corpus)
+        # would be one spilling window task; the agg reduces map-side and
+        # the join is AQE-skew-splittable (same rationale as refine.py).
+        cluster_mins = with_nodes.groupBy("node_cluster").agg(
+            F.min("url").alias("cluster_id")
+        )
+        clustered = with_nodes.join(cluster_mins, "node_cluster")
         # records with empty names: singletons
         empties = matchable.filter(F.length("simple_owners") == 0).withColumn(
             "cluster_id", F.col("url")

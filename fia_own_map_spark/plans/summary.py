@@ -3,14 +3,14 @@ reference `Summary_Script_opt.py`).
 
 The reference enriches the matched table with per-owner totals via
 dict-backed `.map` joins (SS:105-117) and recodes/renames to the published
-schema (SS:64-70, SS:132-184). Here: window aggregates over the cluster id
-(no join, no dict — SURVEY W1/A5/A6), one CASE recode, declarative renames,
+schema (SS:64-70, SS:132-184). Here: per-cluster groupBy totals joined
+back (skew-safe — SURVEY W1/A5/A6), one CASE recode, declarative renames,
 and ensure-columns-with-default (F22).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fia_own_map_spark.config import (
@@ -41,17 +41,21 @@ def summarize_clusters(
     cluster_col: str = "cluster_id",
     weight_col: str | None = None,
 ) -> DataFrame:
-    """Attach per-owner totals (window aggregates, SS:105-117 semantics):
+    """Attach per-owner totals (SS:105-117 semantics):
       total_parcels_owned  — count(*) over cluster (NM:242)
       total_weight_owned   — sum(weight) over cluster when a weight column
                              exists (forest-acres analogue)
-    plus the reclassed ownership group label."""
-    w = Window.partitionBy(cluster_col)
-    out = clusters.withColumn("total_parcels_owned", F.count(F.lit(1)).over(w))
+    plus the reclassed ownership group label. groupBy + join back rather
+    than cluster-partition windows — the giant head cluster would be one
+    spilling window task (see refine.cluster_size)."""
+    cols = clusters.columns
+    aggs = [F.count(F.lit(1)).alias("total_parcels_owned")]
+    extra = ["total_parcels_owned"]
     if weight_col is not None:
-        out = out.withColumn(
-            "total_weight_owned", F.round(F.sum(weight_col).over(w), 6)
-        )
+        aggs.append(F.round(F.sum(weight_col), 6).alias("total_weight_owned"))
+        extra.append("total_weight_owned")
+    totals = clusters.groupBy(cluster_col).agg(*aggs)
+    out = clusters.join(totals, cluster_col).select(*cols, *extra)
     if "own_type" in out.columns:
         out = out.withColumn("own_group", reclass_own_type("own_type"))
     return out

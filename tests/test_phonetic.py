@@ -146,3 +146,41 @@ def test_pg_differential_corpus():
         if p4 != r["primary4"] or a4 != exp_a:
             mismatches.append((r["name"], r["primary4"], exp_a, p4, a4))
     assert not mismatches, mismatches[:20]
+
+
+def test_soundex_matches_spark(spark):
+    """`soundex_py` (the oracle-map source for the soundex key family) must
+    be BIT-EXACT vs Spark's JVM `F.soundex` — including the NARA H/W rule,
+    non-letter separator-reset handling and non-letter-initial pass-through, which
+    are exactly where PostgreSQL's variant differs."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fia_own_map_spark.functions.phonetic import soundex_py
+
+    rng = random.Random(20260817)
+    hand = [
+        "Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak", "Pfister",
+        "Honeyman", "Washington", "Lee", "Gutierrez", "Jackson", "a", "zz",
+        "hhhh", "wwww", "ahw", "awha", "12abc", "ab3cd", "ab3bc", "x9", "aeiouy",
+        "bpfv", "cgjkqsxz", "schwartz", "wheeler", "hw", "who", "oh",
+    ]
+    syllables = ["an", "ber", "cha", "dov", "el", "fi", "gu", "ho", "iv",
+                 "jo", "ka", "lu", "mo", "ne", "ol", "pra", "qu", "ro",
+                 "sch", "tz", "uw", "vy", "wh", "xo", "ya", "zz"]
+    rand_names = [
+        "".join(rng.choices(syllables, k=rng.randrange(1, 5)))
+        for _ in range(600)
+    ] + [
+        "".join(rng.choices("abcdefghijklmnopqrstuvwxyz0123456789", k=rng.randrange(1, 12)))
+        for _ in range(400)
+    ]
+    toks = hand + rand_names
+    df = spark.createDataFrame(pd.DataFrame({"t": toks}))
+    got = dict(df.select("t", F.soundex("t").alias("sx")).toPandas().values)
+    mismatches = [
+        (t, soundex_py(t), got[t]) for t in toks if soundex_py(t) != got[t]
+    ]
+    assert not mismatches, mismatches[:20]
