@@ -2,7 +2,8 @@
 
   * ``cosine_topk``      — brute-force cosine top-k (baseline): broadcast the
     query set, dot products via native higher-order functions
-    (zip_with + aggregate, JVM-side), window top-k per query.
+    (zip_with + aggregate, JVM-side), two-phase top-k per query
+    (``_global_topk`` — no single-task giant window partitions).
   * ``lsh_cosine_topk``  — random-hyperplane LSH: deterministic seeded
     planes (broadcast literals), sign-bit bucket, candidates searched
     within bucket; multi-probe (flip radius >= 1) and OR-amplification
@@ -44,6 +45,31 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
+def _global_topk(
+    scored: DataFrame, k: int, query_id_col: str, id_col: str
+) -> DataFrame:
+    """Two-phase per-query top-k over (query_id, id, score) rows.
+
+    A single window over query_id puts EVERY candidate of a query into one
+    task — at corpus scale that task sorts (and spills) the whole scan.
+    Phase 1 ranks within (query, input-partition): the exchange key carries
+    `spark_partition_id()`, so no post-shuffle partition exceeds an input
+    partition's row count, and only k rows per (query, partition) survive.
+    Phase 2's per-query window then sees ≤ k x n_partitions tiny rows.
+    Same total shuffle volume, no giant sorted partition anywhere."""
+    part = scored.withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy(query_id_col, "_pid").orderBy(
+        F.desc("score"), F.col(id_col)
+    )
+    pruned = (
+        part.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= k)
+        .drop("_pid", "_r")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return pruned.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -55,7 +81,7 @@ def cosine_topk(
     """Brute-force cosine top-k: (query_id, vec_id, score, rank).
 
     queries: (query_id, embedding). The query side is broadcast — the corpus
-    is never shuffled, one scan + local top-k via window.
+    is never shuffled, one scan + two-phase local top-k (_global_topk).
     """
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
@@ -65,11 +91,7 @@ def cosine_topk(
         id_col,
         F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("score"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _global_topk(scored, k, query_id_col, id_col)
 
 
 def _seeded_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
@@ -228,8 +250,7 @@ def ivf_cosine_topk(
         id_col,
         F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("score"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _global_topk(scored, k, query_id_col, id_col)
 
 
 def _probe_buckets(bucket: Column, n_planes: int, radius: int) -> Column:
@@ -363,5 +384,4 @@ def lsh_cosine_topk(
         id_col,
         F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("score"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _global_topk(scored, k, query_id_col, id_col)

@@ -120,6 +120,19 @@ def connected_components(
         if nsig == sig:
             break
         sig = nsig
+        # star-forest early exit: if no dst is also a src the edge set is a
+        # forest of stars, and small-star edges always point DOWNWARD
+        # (dst = min(N(v) ∪ v) < v), so every star is rooted at its
+        # component minimum — the fixpoint, one confirmation round early.
+        # One cheap semi-join probe per round buys back the whole
+        # large-star+small-star confirmation pass.
+        nonstar = (
+            nxt.join(nxt.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .limit(1)
+            .count()
+        )
+        if nonstar == 0:
+            break
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
 
