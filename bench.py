@@ -738,10 +738,11 @@ r3 verdict asked for: local[32] must win outright, not amortize to parity.
 End-to-end efficiency: `{scaling['scaling_efficiency_e2e_big']}` vs the 4x
 core ratio; the headline fact is e2e_32 < e2e_8 at this size (the 200k
 table above is the fixed-cost exhibit: same job, overhead-dominated).
-This corpus also exercised the r4 skew work: record-level windows keyed by
-cluster id used to put the transitive closure's giant head component
-(31k nodes here) into ONE spilling task — 888s e2e before the groupBy+join
-rewrite, {lob['e2e_s']}s after.
+This pair exists because of the r4 skew work: record-level windows keyed by
+cluster id used to put the transitive closure's giant head component (31k
+nodes at an 800k-page probe) into ONE spilling task — 888s e2e at HALF this
+corpus before the groupBy+join rewrite; the full 8x corpus now runs in
+{lob['e2e_s']}s at 8 cores.
 """
     if ann_recall:
         md += f"""
