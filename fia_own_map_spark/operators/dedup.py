@@ -166,21 +166,22 @@ def minhash_lsh_pairs(
         "shingles",
         F.explode(lsh_bands("sig", n_bands, rows_per_band, hash_family)).alias("band"),
     )
+    # persist the RAW banded table: it feeds the size aggregation AND (via
+    # the size join) both sides of the self-join — without it the whole
+    # shingle+signature projection is recomputed (and re-codegen'd) per
+    # consumer. At production scale this intermediate is checkpointed to a
+    # table instead. swap_cached releases the previous invocation's copy so
+    # repeated calls don't leak.
+    banded = swap_cached(f"minhash_banded:{hash_family}", banded)
     # bucket-size cap via groupBy + join, not a count window: the window
     # would put a degenerate mega-bucket (the thing the cap exists to
     # catch!) into one spilling task just to count it. The tiny size table
     # broadcasts.
     band_sizes = banded.groupBy("band").agg(F.count(F.lit(1)).alias("_bsz"))
-    # persist: this table feeds both sides of the self-join — without it
-    # the whole shingle+signature projection is recomputed (and
-    # re-codegen'd) per consumer. At production scale this intermediate is
-    # checkpointed to a table instead. swap_cached releases the previous
-    # invocation's copy so repeated calls don't leak.
-    banded = swap_cached(
-        f"minhash_banded:{hash_family}",
+    banded = (
         banded.join(band_sizes, "band")
         .filter(F.col("_bsz") <= max_bucket_size)
-        .select(id_col, "shingles", "band"),
+        .select(id_col, "shingles", "band")
     )
     left = banded.select(
         F.col("band"), F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
@@ -317,7 +318,13 @@ def simhash_dup_pairs(
     if n_blocks > 64:
         raise ValueError("max_hamming must be < 64")
     widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
-    sh = df.select(F.col(id_col), simhash(text_col).alias("sh"))
+    # persist: the fingerprint table (one slim row per doc) feeds the
+    # bucket-size agg AND both sides of the bucket self-join — without it
+    # the simhash UDF would run three times over the corpus
+    sh = swap_cached(
+        "simhash_fingerprints",
+        df.select(F.col(id_col), simhash(text_col).alias("sh")),
+    )
     blocks = []
     lo = 0
     for i, wdt in enumerate(widths):
