@@ -21,9 +21,10 @@ Codecs in this container:
     javax.imageio / libjpeg within the T.81 conformance tolerance. Adobe
     APP14 transform=0 (stored-RGB) is honored. Only arithmetic coding,
     12-bit precision and 4-component CMYK/YCCK raise NotImplementedError.
-  * ``wav``  — REAL decoder/encoder for RIFF/WAVE PCM audio (8/16/32-bit
-    int + 32-bit float, any channel count), plus ``audio_featurize``
-    (duration / RMS / zero-crossing rate / peak per channel).
+  * ``wav``  — REAL decoder/encoder for RIFF/WAVE PCM audio (8/16/24/32-bit
+    int + 32/64-bit float, any channel count, incl. WAVE_FORMAT_EXTENSIBLE
+    wrappers), plus ``audio_featurize`` (duration / RMS / zero-crossing
+    rate / peak per channel).
   * ``fake`` — deterministic synthetic blob (``b"IMG|w|h|payload"``) for
     plumbing tests.
   * ``avi``  — REAL container parser for MJPEG AVI video (RIFF tree walk,
@@ -393,12 +394,15 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> ((n_frames, n_channels) float64 in [-1, 1], sample_rate).
 
     Supports PCM (format 1: 8-bit unsigned, 16/24/32-bit signed) and IEEE
-    float (format 3: float32/float64), any channel count. Compressed
-    formats (MP3-in-WAV etc.) raise NotImplementedError."""
+    float (format 3: float32/float64), any channel count, plus
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers of either via the
+    KSDATAFORMAT subformat GUID. Compressed formats (MP3-in-WAV etc.)
+    raise NotImplementedError."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a WAV blob")
     pos = 12
     fmt = None
+    fmt_body = None
     data = None
     while pos + 8 <= len(blob):
         cid = blob[pos : pos + 4]
@@ -406,6 +410,7 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
         body = blob[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -413,7 +418,17 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, n_ch, rate, _byte_rate, _block_align, bits = fmt
     if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: subformat GUID leads
-        raise NotImplementedError("WAVE_FORMAT_EXTENSIBLE not supported")
+        # fmt body: 16 standard bytes + cbSize(2) + validBits(2) +
+        # channelMask(4) + SubFormat GUID(16); the GUID's first two bytes
+        # are the real format tag, the rest is the fixed KSDATAFORMAT
+        # suffix. Samples are left-aligned in the container, so decoding at
+        # container width is exact (valid-bit low bits are zero).
+        if fmt_body is None or len(fmt_body) < 40:
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        guid = fmt_body[24:40]
+        if guid[2:16] != b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71":
+            raise NotImplementedError(f"non-KSDATAFORMAT subformat GUID {guid.hex()}")
+        audio_fmt = struct.unpack_from("<H", guid, 0)[0]
     if audio_fmt == 1:  # integer PCM
         if bits == 8:
             samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0

@@ -40,8 +40,11 @@ def refine_clusters_by_address(
     reproduces the window's null-as-a-group semantics exactly."""
     cols = clustered.columns
     df = clustered.withColumn("_addr_k", F.coalesce(F.col(addr_col), F.lit("\x00null")))
+    # count_distinct ignores NULL addresses — the collect_set semantics of
+    # the original window formulation (a NULL addr never triggers a split;
+    # the _addr_k sentinel below only groups NULL rows for the split id)
     addr_counts = df.groupBy(cluster_col).agg(
-        F.count_distinct("_addr_k").alias("_n_addr")
+        F.count_distinct(addr_col).alias("_n_addr")
     )
     split_ids = df.groupBy(cluster_col, "_addr_k").agg(F.min(id_col).alias("_split_id"))
     out = (

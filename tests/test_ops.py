@@ -92,6 +92,55 @@ def test_simhash_max_hamming_zero(docs):
     assert (pairs["hamming"] == 0).all()
 
 
+def test_skew_safe_aggs_match_window_reference(spark):
+    """The r4 skew rewrites (cluster_size, refine_clusters_by_address,
+    summarize totals: groupBy+join instead of cluster-keyed windows) must be
+    ROW-IDENTICAL to the straightforward window formulations they replaced —
+    including NULL addresses, which the window treats as one group."""
+    import random
+
+    from pyspark.sql import Window
+    from fia_own_map_spark.operators.refine import (
+        cluster_size,
+        refine_clusters_by_address,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(400):
+        cid = f"c{rng.randrange(40)}"
+        addr = rng.choice([None, "", "1 main st", "2 oak av", "3 elm rd"])
+        rows.append((f"u{i:03d}", cid, rng.choice([45, 41, 25]), addr))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "cluster_id", "own_type", "comb_addr"])
+    )
+
+    got_cs = cluster_size(df).toPandas().sort_values("url").reset_index(drop=True)
+    w = Window.partitionBy("cluster_id")
+    ref_cs = (
+        df.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .toPandas().sort_values("url").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_cs[ref_cs.columns], ref_cs)
+
+    got_rf = (
+        refine_clusters_by_address(df).toPandas().sort_values("url").reset_index(drop=True)
+    )
+    w_ca = Window.partitionBy("cluster_id", "comb_addr")
+    n_addr = F.size(F.collect_set("comb_addr").over(w))  # NULLs dropped, as r3
+    ref_rf = (
+        df.withColumn(
+            "cluster_id",
+            F.when(
+                F.col("own_type").isin([45]) & (n_addr > 1),
+                F.min("url").over(w_ca),
+            ).otherwise(F.col("cluster_id")),
+        )
+        .toPandas().sort_values("url").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_rf[ref_rf.columns], ref_rf)
+
+
 def test_simhash_batch_bit_identical():
     """The vectorized simhash path (padded-matrix FNV + reduceat sign-sum)
     must be BIT-IDENTICAL to the per-token reference `_simhash64` — that is
@@ -699,6 +748,48 @@ public class JpegTool {
                 assert d.max() <= 5 and d.mean() < 0.8 and (d > 2).mean() < 0.01, (
                     d.max(), d.mean(), (d > 2).mean()
                 )
+
+
+def test_wav_extensible_wrapper():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE + KSDATAFORMAT PCM GUID) must decode
+    identically to the plain PCM stream it wraps. The wrapper is built by
+    rewriting a plain 16-bit PCM file's fmt chunk into extensible form —
+    the data chunk is untouched, so any decode difference is a wrapper
+    parsing bug."""
+    import struct as _struct
+
+    import numpy as np
+
+    t = np.linspace(0, 1, 800, endpoint=False)
+    sig = np.stack([np.sin(2 * np.pi * 440 * t), np.cos(2 * np.pi * 220 * t)], axis=1)
+    blob = multimodal.encode_wav(sig * 0.5, rate=8000)
+    plain, rate = multimodal.decode_wav(blob)
+
+    # locate the fmt chunk and rebuild it as EXTENSIBLE (cbSize=22)
+    pos = 12
+    out = bytearray(blob[:12])
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = _struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            std = bytearray(body[:16])
+            _struct.pack_into("<H", std, 0, 0xFFFE)  # format tag -> extensible
+            guid = b"\x01\x00" + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+            ext = bytes(std) + _struct.pack("<HHI", 22, 16, 0x3) + guid
+            out += b"fmt " + _struct.pack("<I", len(ext)) + ext
+        else:
+            out += blob[pos : pos + 8 + size + (size & 1)]
+        pos += 8 + size + (size & 1)
+    # patch RIFF size
+    _struct.pack_into("<I", out, 4, len(out) - 8)
+    got, rate2 = multimodal.decode_wav(bytes(out))
+    assert rate2 == rate
+    assert np.array_equal(got, plain)
+    # a non-KSDATAFORMAT GUID still raises
+    bad = bytes(out).replace(b"\x38\x9b\x71", b"\x38\x9b\x72")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_wav(bad)
 
 
 def test_wav_codec_differential_stdlib():
