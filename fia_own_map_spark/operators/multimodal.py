@@ -31,9 +31,14 @@ Codecs in this container:
     ``movi`` frame chunks, each frame decoded with the baseline-JPEG
     decoder); ``video_frame_features`` samples every Nth frame — the real
     version of ``frame_sample_plan``.
-  * compressed audio (MP3/AAC) and inter-frame video codecs (H.264 etc.)
-    — STUBBED with NotImplementedError: real deployments drop ffmpeg into
-    the decode dispatch; nothing else changes.
+  * ``mp3`` — REAL header/metadata scanner (``mp3_meta`` /
+    ``mp3_metadata``): ID3v2 skip, MPEG-1/2/2.5 Layer I-III frame walk
+    with resync, Xing/VBR detection — version / rate / channels / frames /
+    bitrate / duration without decoding a sample (the realistic first pass
+    over a web audio corpus). Sample DECODE for MP3/AAC and inter-frame
+    video codecs (H.264 etc.) remains STUBBED with NotImplementedError:
+    real deployments drop ffmpeg into the decode dispatch; nothing else
+    changes.
 
 Blob auto-detection by magic bytes (``codec="auto"``).
 """
@@ -51,6 +56,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     StringType,
@@ -510,6 +516,141 @@ def audio_featurize(
             )
 
     return df.mapInPandas(_batches, AUDIO_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1/2/2.5 layer I-III) header scan — metadata without decode
+# ---------------------------------------------------------------------------
+# bitrate_kbps[version_group][layer_index][bitrate_index]; version group
+# 0 = MPEG-1, 1 = MPEG-2/2.5; layer_index 0 = Layer I, 1 = II, 2 = III
+_MP3_BITRATES = (
+    (
+        (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+        (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+        (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    ),
+    (
+        (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+        (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+        (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    ),
+)
+_MP3_RATES = {0: (11025, 12000, 8000), 2: (22050, 24000, 16000), 3: (44100, 48000, 32000)}
+_MP3_SAMPLES_PER_FRAME = ((384, 1152, 1152), (384, 1152, 576))  # [vgroup][layer]
+
+
+def _id3v2_size(blob: bytes) -> int:
+    """Bytes to skip for a leading ID3v2 tag (syncsafe 28-bit size), else 0."""
+    if len(blob) >= 10 and blob[:3] == b"ID3":
+        sz = (blob[6] << 21) | (blob[7] << 14) | (blob[8] << 7) | blob[9]
+        return 10 + sz + (10 if blob[5] & 0x10 else 0)  # footer flag
+    return 0
+
+
+def mp3_meta(blob: bytes, max_frames: int | None = None) -> dict:
+    """MP3 stream metadata WITHOUT audio decode: walk the MPEG frame
+    headers (ISO 11172-3 / 13818-3 framing), skipping any leading ID3v2
+    tag and resyncing past garbage. Returns version / layer / sample_rate /
+    channels / n_frames / avg_bitrate_kbps / duration_s / vbr (also set
+    when a Xing/Info header is present). This is the realistic first pass
+    over a web-scale audio corpus — full MP3 DECODE is a documented stub
+    (no independent oracle ships in this container; a deployment drops
+    ffmpeg into the dispatch)."""
+    pos = _id3v2_size(blob)
+    n_frames = 0
+    bitrates: list[int] = []
+    meta: dict = {}
+    vbr = False
+    while pos + 4 <= len(blob):
+        b0, b1, b2, b3 = blob[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            pos += 1  # resync byte-by-byte (spec behavior for damaged streams)
+            continue
+        vbits = (b1 >> 3) & 0x3  # 0=2.5, 2=2, 3=1 (1 reserved)
+        layer_bits = (b1 >> 1) & 0x3  # 3=I, 2=II, 1=III (0 reserved)
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        if vbits == 1 or layer_bits == 0 or br_idx in (0, 15) or sr_idx == 3:
+            pos += 1
+            continue
+        vgroup = 0 if vbits == 3 else 1
+        layer = 4 - layer_bits  # 1/2/3
+        rate = _MP3_RATES[vbits][sr_idx]
+        if vbits == 0:
+            rate //= 2  # MPEG-2.5 halves the MPEG-2 rates
+        kbps = _MP3_BITRATES[vgroup][layer - 1][br_idx]
+        padding = (b2 >> 1) & 0x1
+        mode = (b3 >> 6) & 0x3  # 3 = mono
+        if layer == 1:
+            frame_len = (12 * kbps * 1000 // rate + padding) * 4
+        else:
+            spf = _MP3_SAMPLES_PER_FRAME[vgroup][layer - 1]
+            frame_len = spf * kbps * 1000 // (8 * rate) + padding
+        if frame_len <= 4 or pos + frame_len > len(blob):
+            break
+        if n_frames == 0:
+            meta = {
+                "mpeg_version": {3: "1", 2: "2", 0: "2.5"}[vbits],
+                "layer": layer,
+                "sample_rate": rate,
+                "n_channels": 1 if mode == 3 else 2,
+            }
+            # Xing/Info VBR header sits after the side info of frame 0
+            side = (17 if mode == 3 else 32) if vgroup == 0 else (9 if mode == 3 else 17)
+            tag_at = pos + 4 + (side if layer == 3 else 0)
+            if blob[tag_at : tag_at + 4] in (b"Xing", b"Info"):
+                vbr = blob[tag_at : tag_at + 4] == b"Xing"
+        n_frames += 1
+        bitrates.append(kbps)
+        pos += frame_len
+        if max_frames is not None and n_frames >= max_frames:
+            break
+    if n_frames == 0:
+        raise ValueError("no MPEG audio frames found")
+    spf = _MP3_SAMPLES_PER_FRAME[0 if meta["mpeg_version"] == "1" else 1][meta["layer"] - 1]
+    meta.update(
+        n_frames=n_frames,
+        avg_bitrate_kbps=round(sum(bitrates) / len(bitrates), 3),
+        duration_s=round(n_frames * spf / meta["sample_rate"], 6),
+        vbr=vbr or len(set(bitrates)) > 1,
+    )
+    return meta
+
+
+MP3_META_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("mpeg_version", StringType()),
+        StructField("layer", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("avg_bitrate_kbps", DoubleType()),
+        StructField("duration_s", DoubleType()),
+        StructField("vbr", BooleanType()),
+    ]
+)
+
+
+def mp3_metadata(
+    df: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
+) -> DataFrame:
+    """mapInPandas MP3 header scan (see mp3_meta) — typed metadata for a
+    binary audio column without decoding a single sample."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                m = mp3_meta(bytes(blob))
+                rows.append(
+                    (mid, m["mpeg_version"], m["layer"], m["sample_rate"],
+                     m["n_channels"], m["n_frames"], m["avg_bitrate_kbps"],
+                     m["duration_s"], m["vbr"])
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MP3_META_SCHEMA.fields])
+
+    return df.mapInPandas(_batches, MP3_META_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

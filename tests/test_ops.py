@@ -750,6 +750,62 @@ public class JpegTool {
                 )
 
 
+def _mp3_frame(kbps_idx: int, kbps: int, *, mpeg1=True, mono=False, sr_idx=0,
+               rate=44100, pad=0, fill=0xAA) -> bytes:
+    """Handcraft one MPEG Layer-III frame with the given header fields."""
+    b1 = 0b11100000 | ((0b11 if mpeg1 else 0b10) << 3) | (0b01 << 1) | 1
+    b2 = (kbps_idx << 4) | (sr_idx << 2) | (pad << 1)
+    b3 = (0b11 << 6) if mono else 0x00
+    spf = 1152 if mpeg1 else 576
+    frame_len = spf * kbps * 1000 // (8 * rate) + pad
+    return bytes([0xFF, b1, b2, b3]) + bytes([fill]) * (frame_len - 4)
+
+
+def test_mp3_header_scan():
+    """MP3 metadata scan over handcrafted spec frames: ID3v2 skip, CBR
+    MPEG-1 stereo, VBR detection (both bitrate-mix and Xing tag), MPEG-2
+    mono rates, and byte-level resync past leading garbage."""
+    from fia_own_map_spark.operators.multimodal import mp3_meta
+
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) + bytes(100)
+    cbr = id3 + b"".join(_mp3_frame(9, 128) for _ in range(20))
+    m = mp3_meta(cbr)
+    assert (m["mpeg_version"], m["layer"], m["sample_rate"], m["n_channels"]) == ("1", 3, 44100, 2)
+    assert m["n_frames"] == 20 and m["avg_bitrate_kbps"] == 128.0 and not m["vbr"]
+    assert abs(m["duration_s"] - 20 * 1152 / 44100) < 1e-6
+
+    vbr = b"junkbytes" + b"".join(
+        _mp3_frame(9, 128) if i % 2 else _mp3_frame(10, 160) for i in range(10)
+    )
+    mv = mp3_meta(vbr)
+    assert mv["vbr"] and mv["avg_bitrate_kbps"] == 144.0 and mv["n_frames"] == 10
+
+    # Xing tag after the 32-byte MPEG-1 stereo side info => VBR even at CBR
+    f0 = bytearray(_mp3_frame(9, 128))
+    f0[4 + 32 : 4 + 36] = b"Xing"
+    assert mp3_meta(bytes(f0) + _mp3_frame(9, 128))["vbr"]
+
+    m2 = mp3_meta(b"".join(_mp3_frame(8, 64, mpeg1=False, mono=True, rate=22050) for _ in range(5)))
+    assert (m2["mpeg_version"], m2["sample_rate"], m2["n_channels"]) == ("2", 22050, 1)
+    assert abs(m2["duration_s"] - 5 * 576 / 22050) < 1e-6
+
+    with pytest.raises(ValueError):
+        mp3_meta(b"\x00" * 64)
+
+
+def test_mp3_metadata_spark(spark):
+    from fia_own_map_spark.operators.multimodal import mp3_metadata
+
+    blobs = [
+        ("a", b"".join(_mp3_frame(9, 128) for _ in range(8))),
+        ("b", b"".join(_mp3_frame(12, 224) for _ in range(3))),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(blobs, columns=["media_id", "blob"]))
+    out = mp3_metadata(df).toPandas().set_index("media_id")
+    assert out.loc["a", "n_frames"] == 8 and out.loc["a", "avg_bitrate_kbps"] == 128.0
+    assert out.loc["b", "avg_bitrate_kbps"] == 224.0 and not out.loc["b", "vbr"]
+
+
 def test_wav_extensible_wrapper():
     """WAVE_FORMAT_EXTENSIBLE (0xFFFE + KSDATAFORMAT PCM GUID) must decode
     identically to the plain PCM stream it wraps. The wrapper is built by
