@@ -182,6 +182,17 @@ def lsh_candidate_fractions(spark, sf_dir: str) -> dict:
         n_cand = lsh_candidates(emb, queries, multiprobe=1, **kwargs).count()
         out[name] = round(n_cand / (n_corpus * n_queries), 4)
         log(f"  [A] candidate fraction {name}: {out[name]}")
+    # IVF: same budget accounting — candidates = corpus rows in probed cells
+    from fia_own_map_spark.operators.ann import _probe_cells, ivf_index
+
+    indexed, centroids = ivf_index(emb, n_cells=8)
+    q = _probe_cells(
+        queries.select("query_id", F.col("embedding").alias("_qvec")),
+        centroids, 3, "_qvec",
+    )
+    n_cand = indexed.join(F.broadcast(q), "_cell").count()
+    out["ivf_frac"] = round(n_cand / (n_corpus * n_queries), 4)
+    log(f"  [A] candidate fraction ivf_frac: {out['ivf_frac']}")
     return out
 
 
@@ -750,7 +761,7 @@ corpus before the groupBy+join rewrite; the full 8x corpus now runs in
 
 | path | recall@10 | corpus fraction scored (measured) |
 |---|---|---|
-| IVF (8 cells, nprobe=3) | {ann_recall.get('ann_ivf_topk')} | ~3/8 |
+| IVF (8 cells, nprobe=3) | {ann_recall.get('ann_ivf_topk')} | {ann_recall.get('ivf_frac')} |
 | LSH single table (6 planes, flip-1) | {ann_recall.get('ann_lsh_topk')} | {ann_recall.get('lsh_frac')} |
 | LSH OR-amplified (7 tables x 8 planes, flip-1) | {ann_recall.get('ann_lsh_multi_topk')} | {ann_recall.get('lsh_multi_frac')} |
 
