@@ -36,19 +36,23 @@ os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_cache")
 
+# ordered cheap-to-heavy: the small JVM-only relational queries double as
+# the tail of the steady-state ramp (JIT, shuffle paths), so the expensive
+# ER/dedup queries measure work, not residual session warm-up. The suite
+# TOTAL is unaffected by ordering; per-query numbers are steady-state.
 HEADLINE = [
-    "er_cluster_documents",
-    "er_score_pairs",
-    "dedup_exact_keep",
-    "dedup_minhash_fast",
-    "dedup_simhash_pairs",
-    "text_quality",
-    "text_lang_id",
-    "ann_cosine_topk",
     "tpch_q1_pricing",
     "join_customer_nation_revenue",
     "window_orders_per_customer",
     "priority_dedupe_orders",
+    "dedup_exact_keep",
+    "text_lang_id",
+    "text_quality",
+    "ann_cosine_topk",
+    "er_score_pairs",
+    "dedup_simhash_pairs",
+    "dedup_minhash_fast",
+    "er_cluster_documents",
 ]
 
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "60000"))

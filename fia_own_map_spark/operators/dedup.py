@@ -157,7 +157,12 @@ def minhash_lsh_pairs(
     its |B|² verification joins would dominate the job — the same mega-block
     reasoning as ER blocking, SURVEY.md §4)."""
     rows_per_band = n_hashes // n_bands
-    prepared = df.select(
+    # pre-compute repartition (same pattern as the metaphone key stage):
+    # the documents table arrives as few parquet splits, and the shingle +
+    # n_hashes-signature projection is the compute-heavy part — spread it
+    # across the job-level shuffle width instead of the scan's splits
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    prepared = df.repartition(width, id_col).select(
         F.col(id_col),
         word_shingles(text_col, shingle_k).alias("shingles"),
     ).withColumn("sig", minhash_signature(F.col("shingles"), n_hashes, hash_family))
@@ -320,10 +325,15 @@ def simhash_dup_pairs(
     widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
     # persist: the fingerprint table (one slim row per doc) feeds the
     # bucket-size agg AND both sides of the bucket self-join — without it
-    # the simhash UDF would run three times over the corpus
+    # the simhash UDF would run three times over the corpus. The pre-UDF
+    # repartition spreads the UDF across the job-level shuffle width
+    # instead of the scan's few parquet splits.
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     sh = swap_cached(
         "simhash_fingerprints",
-        df.select(F.col(id_col), simhash(text_col).alias("sh")),
+        df.repartition(width, id_col).select(
+            F.col(id_col), simhash(text_col).alias("sh")
+        ),
     )
     blocks = []
     lo = 0
