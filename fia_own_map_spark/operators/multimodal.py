@@ -575,9 +575,7 @@ def mp3_meta(blob: bytes, max_frames: int | None = None) -> dict:
             continue
         vgroup = 0 if vbits == 3 else 1
         layer = 4 - layer_bits  # 1/2/3
-        rate = _MP3_RATES[vbits][sr_idx]
-        if vbits == 0:
-            rate //= 2  # MPEG-2.5 halves the MPEG-2 rates
+        rate = _MP3_RATES[vbits][sr_idx]  # table already per-version (2.5 = 11025 family)
         kbps = _MP3_BITRATES[vgroup][layer - 1][br_idx]
         padding = (b2 >> 1) & 0x1
         mode = (b3 >> 6) & 0x3  # 3 = mono

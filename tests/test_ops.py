@@ -789,6 +789,17 @@ def test_mp3_header_scan():
     assert (m2["mpeg_version"], m2["sample_rate"], m2["n_channels"]) == ("2", 22050, 1)
     assert abs(m2["duration_s"] - 5 * 576 / 22050) < 1e-6
 
+    # MPEG-2.5: version bits 00, rate table's 11025 family used AS-IS
+    def frame25(kbps_idx, kbps, rate=11025):
+        b1 = 0b11100000 | (0b00 << 3) | (0b01 << 1) | 1
+        b2 = (kbps_idx << 4) | (0 << 2)
+        frame_len = 576 * kbps * 1000 // (8 * rate)
+        return bytes([0xFF, b1, b2, 0x00]) + bytes(frame_len - 4)
+
+    m25 = mp3_meta(b"".join(frame25(8, 64) for _ in range(4)))
+    assert (m25["mpeg_version"], m25["sample_rate"]) == ("2.5", 11025)
+    assert abs(m25["duration_s"] - 4 * 576 / 11025) < 1e-6
+
     with pytest.raises(ValueError):
         mp3_meta(b"\x00" * 64)
 
