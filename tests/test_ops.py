@@ -92,6 +92,26 @@ def test_simhash_max_hamming_zero(docs):
     assert (pairs["hamming"] == 0).all()
 
 
+def test_flagship_plan_has_no_cluster_windows(spark):
+    """Regression guard for the r4 scale lesson: the flagship's final plan
+    must contain NO window operator — cluster-keyed windows single-task the
+    transitive closure's giant head component (888s -> 104s at 800k pages
+    when rewritten to groupBy+join). plan_audit.py checks this in PLANS.md;
+    this pytest makes it a hard gate."""
+    import io
+    from contextlib import redirect_stdout
+
+    import __spark_entry__ as entry
+
+    df = entry.queries()["er_cluster_documents"](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(extended=False)
+    plan = buf.getvalue()
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan
+
+
 def test_skew_safe_aggs_match_window_reference(spark):
     """The r4 skew rewrites (cluster_size, refine_clusters_by_address,
     summarize totals: groupBy+join instead of cluster-keyed windows) must be
