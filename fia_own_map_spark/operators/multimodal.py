@@ -35,10 +35,15 @@ Codecs in this container:
     ``mp3_metadata``): ID3v2 skip, MPEG-1/2/2.5 Layer I-III frame walk
     with resync, Xing/VBR detection — version / rate / channels / frames /
     bitrate / duration without decoding a sample (the realistic first pass
-    over a web audio corpus). Sample DECODE for MP3/AAC and inter-frame
-    video codecs (H.264 etc.) remains STUBBED with NotImplementedError:
-    real deployments drop ffmpeg into the decode dispatch; nothing else
-    changes.
+    over a web audio corpus).
+  * ``aac``  — REAL ADTS header scanner (``aac_adts_meta``): profile /
+    rate / channels / raw-data-block-accurate duration.
+  * ``h264`` — REAL Annex-B SPS parser (``h264_sps_meta``): exp-Golomb
+    SPS decode per ISO 14496-10 §7.3.2.1 — profile / level / chroma format
+    / exact cropped dimensions, spec-vector tested.
+    Sample DECODE for MP3/AAC and inter-frame video codecs remains STUBBED
+    with NotImplementedError: real deployments drop ffmpeg into the decode
+    dispatch; nothing else changes.
 
 Blob auto-detection by magic bytes (``codec="auto"``).
 """
@@ -615,6 +620,57 @@ def mp3_meta(blob: bytes, max_frames: int | None = None) -> dict:
     return meta
 
 
+# ADTS sampling_frequency_index -> Hz (ISO 14496-3 table 1.18)
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000, 7350)
+
+
+def aac_adts_meta(blob: bytes, max_frames: int | None = None) -> dict:
+    """AAC ADTS stream metadata without decode (ISO 14496-3 ADTS framing):
+    walk the 0xFFF-sync headers, reading profile / sample rate / channel
+    configuration / per-frame byte length. Each ADTS frame carries 1024
+    samples per raw data block; duration = frames x blocks x 1024 / rate.
+    Same role as mp3_meta: the metadata pass a web audio corpus gets before
+    any (ffmpeg-delegated) sample decode."""
+    pos = _id3v2_size(blob)
+    n_frames = 0
+    total_blocks = 0
+    meta: dict = {}
+    while pos + 7 <= len(blob):
+        if blob[pos] != 0xFF or (blob[pos + 1] & 0xF6) != 0xF0:
+            pos += 1  # resync (layer bits must be 00)
+            continue
+        profile = (blob[pos + 2] >> 6) & 0x3  # 0=Main 1=LC 2=SSR 3=LTP
+        sr_idx = (blob[pos + 2] >> 2) & 0xF
+        if sr_idx >= len(_ADTS_RATES):
+            pos += 1
+            continue
+        channels = ((blob[pos + 2] & 0x1) << 2) | ((blob[pos + 3] >> 6) & 0x3)
+        frame_len = ((blob[pos + 3] & 0x3) << 11) | (blob[pos + 4] << 3) | (blob[pos + 5] >> 5)
+        blocks = (blob[pos + 6] & 0x3) + 1  # raw_data_blocks_in_frame + 1
+        if frame_len < 7 or pos + frame_len > len(blob):
+            break
+        if n_frames == 0:
+            meta = {
+                "profile": ("AAC Main", "AAC LC", "AAC SSR", "AAC LTP")[profile],
+                "sample_rate": _ADTS_RATES[sr_idx],
+                "n_channels": channels,
+                "mpeg4": (blob[pos + 1] & 0x08) == 0,  # ID bit: 0 = MPEG-4
+            }
+        n_frames += 1
+        total_blocks += blocks
+        pos += frame_len
+        if max_frames is not None and n_frames >= max_frames:
+            break
+    if n_frames == 0:
+        raise ValueError("no ADTS frames found")
+    meta.update(
+        n_frames=n_frames,
+        duration_s=round(total_blocks * 1024 / meta["sample_rate"], 6),
+    )
+    return meta
+
+
 MP3_META_SCHEMA = StructType(
     [
         StructField("media_id", StringType()),
@@ -649,6 +705,130 @@ def mp3_metadata(
             yield pd.DataFrame(rows, columns=[f.name for f in MP3_META_SCHEMA.fields])
 
     return df.mapInPandas(_batches, MP3_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# H.264 Annex-B SPS scan — video stream metadata without decode
+# ---------------------------------------------------------------------------
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:  # unsigned exp-Golomb
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("bad exp-Golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:  # signed exp-Golomb
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+_H264_PROFILES = {66: "Baseline", 77: "Main", 88: "Extended", 100: "High",
+                  110: "High 10", 122: "High 4:2:2", 244: "High 4:4:4"}
+
+
+def _strip_emulation(data: bytes) -> bytes:
+    """Remove 00 00 03 emulation-prevention bytes from an RBSP."""
+    return data.replace(b"\x00\x00\x03", b"\x00\x00")
+
+
+def h264_sps_meta(blob: bytes) -> dict:
+    """H.264 stream metadata WITHOUT decode: find the first SPS NAL in an
+    Annex-B stream (00 00 01 start codes) and parse it per ISO 14496-10
+    §7.3.2.1 — profile / level / chroma format / exact cropped dimensions /
+    frame_mbs_only. Sample decode stays a documented ffmpeg-delegation
+    stub; this header pass is what a 100 TB video corpus scan runs first."""
+    i = 0
+    sps = None
+    while i < len(blob) - 4:
+        if blob[i : i + 3] == b"\x00\x00\x01":
+            start = i + 3
+            nal_type = blob[start] & 0x1F
+            end = blob.find(b"\x00\x00\x01", start)
+            if end == -1:
+                end = len(blob)
+            elif blob[end - 1 : end] == b"\x00":  # 4-byte start code
+                end -= 1
+            if nal_type == 7:
+                sps = _strip_emulation(blob[start + 1 : end])
+                break
+            i = end
+        else:
+            i += 1
+    if sps is None:
+        raise ValueError("no SPS NAL found")
+    r = _BitReader(sps)
+    profile_idc = r.u(8)
+    r.u(8)  # constraint flags + reserved
+    level_idc = r.u(8)
+    r.ue()  # seq_parameter_set_id
+    chroma_format_idc = 1
+    if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            r.u(1)  # separate_colour_plane
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass
+        if r.u(1):  # seq_scaling_matrix_present
+            for idx in range(8 if chroma_format_idc != 3 else 12):
+                if r.u(1):  # scaling_list_present
+                    size = 16 if idx < 6 else 64
+                    last, nxt = 8, 8
+                    for _ in range(size):
+                        if nxt != 0:
+                            nxt = (last + r.se() + 256) % 256
+                        last = nxt if nxt != 0 else last
+    r.ue()  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()
+    elif poc_type == 1:
+        r.u(1)
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed
+    pw_mbs = r.ue() + 1
+    ph_map = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)  # mb_adaptive_frame_field
+    r.u(1)  # direct_8x8_inference
+    width = pw_mbs * 16
+    height = ph_map * 16 * (2 - frame_mbs_only)
+    if r.u(1):  # frame_cropping
+        cl, cr_, ct, cb = r.ue(), r.ue(), r.ue(), r.ue()
+        # crop units per §7.4.2.1.1 (SubWidthC/SubHeightC by chroma format)
+        sub_w = {0: 1, 1: 2, 2: 2, 3: 1}[chroma_format_idc]
+        sub_h = {0: 1, 1: 2, 2: 1, 3: 1}[chroma_format_idc]
+        unit_x = 1 if chroma_format_idc == 0 else sub_w
+        unit_y = (1 if chroma_format_idc == 0 else sub_h) * (2 - frame_mbs_only)
+        width -= (cl + cr_) * unit_x
+        height -= (ct + cb) * unit_y
+    return {
+        "profile": _H264_PROFILES.get(profile_idc, f"profile_idc {profile_idc}"),
+        "level": level_idc / 10.0,
+        "chroma_format_idc": chroma_format_idc,
+        "width": width,
+        "height": height,
+        "interlaced_capable": not bool(frame_mbs_only),
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -824,6 +824,96 @@ def test_mp3_header_scan():
         mp3_meta(b"\x00" * 64)
 
 
+class _SpsWriter:
+    """Minimal bitstream writer for handcrafting SPS test vectors."""
+
+    def __init__(self):
+        self.bits = []
+
+    def u(self, v, n):
+        self.bits += [(v >> i) & 1 for i in range(n - 1, -1, -1)]
+
+    def ue(self, v):
+        v1 = v + 1
+        nb = v1.bit_length()
+        self.u(0, nb - 1)
+        self.u(v1, nb)
+
+    def rbsp(self):
+        b = self.bits + [1]  # rbsp_stop_one_bit
+        b += [0] * (-len(b) % 8)
+        return bytes(
+            int("".join(map(str, b[i : i + 8])), 2) for i in range(0, len(b), 8)
+        )
+
+
+def test_h264_sps_scan():
+    """H.264 SPS metadata over handcrafted spec bitstreams: Baseline
+    1280x720 progressive (no crop) and High 1920x1080 (1088 coded, bottom
+    crop 8 via 4:2:0 crop units)."""
+    from fia_own_map_spark.operators.multimodal import h264_sps_meta
+
+    w = _SpsWriter()
+    w.u(66, 8); w.u(0, 8); w.u(30, 8)        # Baseline, level 3.0
+    w.ue(0)                                   # sps_id
+    w.ue(0); w.ue(0); w.ue(0)                 # log2_frame_num, poc_type 0, log2_poc
+    w.ue(1); w.u(0, 1)                        # max_ref, gaps
+    w.ue(79); w.ue(44)                        # 80x45 macroblocks
+    w.u(1, 1); w.u(1, 1); w.u(0, 1); w.u(0, 1)  # frame_mbs_only, direct8x8, no crop, no vui
+    blob = b"\x00junk" + b"\x00\x00\x01\x67" + w.rbsp() + b"\x00\x00\x01\x68\xce"
+    m = h264_sps_meta(blob)
+    assert (m["profile"], m["level"], m["width"], m["height"]) == ("Baseline", 3.0, 1280, 720)
+    assert not m["interlaced_capable"]
+
+    w = _SpsWriter()
+    w.u(100, 8); w.u(0, 8); w.u(40, 8)        # High, level 4.0
+    w.ue(0)                                   # sps_id
+    w.ue(1)                                   # chroma 4:2:0
+    w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 1)    # bit depths, qpprime, no scaling matrix
+    w.ue(0); w.ue(0); w.ue(0)                 # log2_frame_num, poc_type 0, log2_poc
+    w.ue(4); w.u(0, 1)                        # max_ref, gaps
+    w.ue(119); w.ue(67)                       # 120x68 macroblocks (1920x1088)
+    w.u(1, 1); w.u(1, 1)                      # frame_mbs_only, direct8x8
+    w.u(1, 1); w.ue(0); w.ue(0); w.ue(0); w.ue(4)  # crop bottom 4 units x2 = 8
+    w.u(0, 1)                                 # no vui
+    m = h264_sps_meta(b"\x00\x00\x00\x01\x67" + w.rbsp())
+    assert (m["profile"], m["width"], m["height"], m["level"]) == ("High", 1920, 1080, 4.0)
+
+    with pytest.raises(ValueError):
+        h264_sps_meta(b"\x00\x00\x01\x68\xce\x38\x80")  # PPS only, no SPS
+
+
+def test_aac_adts_header_scan():
+    """ADTS metadata over handcrafted spec frames: AAC-LC 44100 stereo,
+    syncword resync, raw-data-block accounting."""
+    from fia_own_map_spark.operators.multimodal import aac_adts_meta
+
+    def adts_frame(payload_len=50, sr_idx=4, channels=2, profile=1, blocks=1):
+        frame_len = 7 + payload_len
+        h = bytearray(7)
+        h[0] = 0xFF
+        h[1] = 0xF1  # MPEG-4, layer 00, no CRC
+        h[2] = (profile << 6) | (sr_idx << 2) | ((channels >> 2) & 1)
+        h[3] = ((channels & 0x3) << 6) | ((frame_len >> 11) & 0x3)
+        h[4] = (frame_len >> 3) & 0xFF
+        h[5] = ((frame_len & 0x7) << 5) | 0x1F
+        h[6] = 0xFC | (blocks - 1)
+        return bytes(h) + bytes(payload_len)
+
+    blob = b"garbage" + b"".join(adts_frame() for _ in range(12))
+    m = aac_adts_meta(blob)
+    assert (m["profile"], m["sample_rate"], m["n_channels"], m["mpeg4"]) == ("AAC LC", 44100, 2, True)
+    assert m["n_frames"] == 12
+    assert abs(m["duration_s"] - 12 * 1024 / 44100) < 1e-6
+
+    # two raw data blocks per frame double the duration
+    m2 = aac_adts_meta(b"".join(adts_frame(blocks=2) for _ in range(6)))
+    assert abs(m2["duration_s"] - 12 * 1024 / 44100) < 1e-6
+
+    with pytest.raises(ValueError):
+        aac_adts_meta(b"\x00" * 32)
+
+
 def test_mp3_metadata_spark(spark):
     from fia_own_map_spark.operators.multimodal import mp3_metadata
 
