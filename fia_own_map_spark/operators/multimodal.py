@@ -45,7 +45,10 @@ Codecs in this container:
     with NotImplementedError: real deployments drop ffmpeg into the decode
     dispatch; nothing else changes.
 
-Blob auto-detection by magic bytes (``codec="auto"``).
+Blob auto-detection by magic bytes (``codec="auto"``). ``media_probe`` is
+the unified ffprobe-analog: one mapInPandas pass over a MIXED media column
+returning typed metadata (kind/dims/rate/channels/duration) from headers
+alone — zero payload bytes decoded.
 """
 
 from __future__ import annotations
@@ -959,6 +962,134 @@ def _decode_fake(blob: bytes) -> tuple[int, int, np.ndarray]:
     if head != b"IMG":
         raise ValueError("not a fake IMG blob")
     return int(w), int(h), np.frombuffer(payload, dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# unified header-only probe (the ffprobe analog for binary media columns)
+# ---------------------------------------------------------------------------
+def _jpeg_dims(blob: bytes) -> tuple[int, int]:
+    """(width, height) from the SOF marker — header scan only, no decode."""
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = blob[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack_from(">H", blob, pos)[0]
+        if marker in (0xC0, 0xC1, 0xC2):
+            _, h, w = struct.unpack_from(">BHH", blob, pos + 2)
+            return w, h
+        pos += seg_len
+    raise ValueError("JPEG missing SOF")
+
+
+def probe_media(blob: bytes) -> dict:
+    """Magic-byte dispatch to the cheapest header scan per format: kind +
+    dimensions / sample rate / channels / duration / detail, decoding ZERO
+    payload bytes. Every field not applicable to the kind is None."""
+    out = {"kind": None, "width": None, "height": None, "sample_rate": None,
+           "n_channels": None, "duration_s": None, "detail": None}
+    if blob[:8] == _PNG_SIG:
+        w, h = struct.unpack_from(">II", blob, 16)
+        depth, ctype = blob[24], blob[25]
+        out.update(kind="png", width=w, height=h,
+                   detail=f"color_type={ctype} depth={depth}")
+    elif blob[:3] == b"\xff\xd8\xff":
+        w, h = _jpeg_dims(blob)
+        out.update(kind="jpeg", width=w, height=h,
+                   detail="progressive" if b"\xff\xc2" in blob else "baseline")
+    elif blob[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", blob, 18)
+        out.update(kind="bmp", width=w, height=abs(h))
+    elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        pos, fmt, data_size = 12, None, None
+        while pos + 8 <= len(blob):
+            cid = blob[pos : pos + 4]
+            size = struct.unpack_from("<I", blob, pos + 4)[0]
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", blob, pos + 8)
+            elif cid == b"data":
+                data_size = size
+            pos += 8 + size + (size & 1)
+        if fmt is None:
+            raise ValueError("WAV missing fmt chunk")
+        _, n_ch, rate, _, block_align, bits = fmt
+        dur = (data_size / (rate * block_align)) if (data_size and block_align) else None
+        out.update(kind="wav", sample_rate=rate, n_channels=n_ch,
+                   duration_s=round(dur, 6) if dur else None, detail=f"{bits}-bit")
+    elif blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+        # avih is the first chunk of the first hdrl LIST: fixed layout
+        idx = blob.find(b"avih")
+        if idx == -1:
+            raise ValueError("AVI missing avih")
+        us_pf, _, _, _, n_frames = struct.unpack_from("<IIIII", blob, idx + 8)
+        w, h = struct.unpack_from("<II", blob, idx + 8 + 32)
+        out.update(kind="avi", width=w, height=h,
+                   duration_s=round(n_frames * us_pf / 1e6, 6),
+                   detail=f"{n_frames} frames")
+    elif blob[:4] == b"IMG|":
+        head, w, h, _ = blob.split(b"|", 3)
+        out.update(kind="fake", width=int(w), height=int(h))
+    elif blob[:3] == b"\x00\x00\x01" or blob[:4] == b"\x00\x00\x00\x01":
+        m = h264_sps_meta(blob)
+        out.update(kind="h264", width=m["width"], height=m["height"],
+                   detail=f"{m['profile']} L{m['level']}")
+    elif len(blob) > 1 and blob[0] == 0xFF and (blob[1] & 0xF6) == 0xF0:
+        m = aac_adts_meta(blob)
+        out.update(kind="aac", sample_rate=m["sample_rate"],
+                   n_channels=m["n_channels"], duration_s=m["duration_s"],
+                   detail=m["profile"])
+    elif blob[:3] == b"ID3" or (len(blob) > 1 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0):
+        m = mp3_meta(blob)
+        out.update(kind="mp3", sample_rate=m["sample_rate"],
+                   n_channels=m["n_channels"], duration_s=m["duration_s"],
+                   detail=f"MPEG-{m['mpeg_version']} L{m['layer']} "
+                          f"{m['avg_bitrate_kbps']:g}kbps{' VBR' if m['vbr'] else ''}")
+    else:
+        raise ValueError("unrecognized media blob")
+    return out
+
+
+MEDIA_PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("duration_s", DoubleType()),
+        StructField("detail", StringType()),
+        StructField("n_bytes", IntegerType()),
+    ]
+)
+
+
+def media_probe(
+    df: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
+) -> DataFrame:
+    """mapInPandas header probe over a mixed binary media column — typed
+    metadata for EVERY supported format (image/audio/video) without
+    decoding payload bytes; the first pass a 100 TB media corpus runs."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob)
+                m = probe_media(b)
+                rows.append(
+                    (mid, m["kind"], m["width"], m["height"], m["sample_rate"],
+                     m["n_channels"], m["duration_s"], m["detail"], len(b))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_PROBE_SCHEMA.fields])
+
+    return df.mapInPandas(_batches, MEDIA_PROBE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

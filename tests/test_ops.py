@@ -824,6 +824,33 @@ def test_mp3_header_scan():
         mp3_meta(b"\x00" * 64)
 
 
+def test_media_probe_mixed_corpus(spark):
+    """media_probe over one blob of every supported kind: header-only
+    dispatch, no payload decode, typed nulls where not applicable."""
+    import numpy as np
+
+    from fia_own_map_spark.operators.multimodal import (
+        encode_avi_mjpeg, encode_png, encode_wav, make_fake_image, media_probe,
+    )
+
+    img = np.arange(12 * 9 * 3, dtype=np.uint8).reshape(9, 12, 3) % 251
+    png = encode_png(img, filter_type=4)
+    bmp = multimodal.encode_bmp(img)
+    wav = encode_wav(np.zeros((441, 2)), rate=4410)
+    mp3 = b"".join(_mp3_frame(9, 128) for _ in range(4))
+    blobs = [("png", png), ("bmp", bmp), ("wav", wav), ("mp3", mp3),
+             ("fake", make_fake_image("x", 7, 5, seed=1))]
+    df = spark.createDataFrame(pd.DataFrame(blobs, columns=["media_id", "blob"]))
+    out = media_probe(df).toPandas().set_index("media_id")
+    assert out.loc["png", "kind"] == "png" and out.loc["png", "width"] == 12
+    assert out.loc["bmp", "kind"] == "bmp" and out.loc["bmp", "height"] == 9
+    assert out.loc["wav", "sample_rate"] == 4410
+    assert abs(out.loc["wav", "duration_s"] - 0.1) < 1e-6
+    assert out.loc["mp3", "kind"] == "mp3" and "128kbps" in out.loc["mp3", "detail"]
+    assert out.loc["fake", "width"] == 7
+    assert pd.isna(out.loc["png", "duration_s"]) and pd.isna(out.loc["wav", "width"])
+
+
 class _SpsWriter:
     """Minimal bitstream writer for handcrafting SPS test vectors."""
 
