@@ -57,12 +57,18 @@ def normalized_text(col: Column | str) -> Column:
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, content_hash, canonical_id): canonical = min(id) per hash."""
     h = F.md5(normalized_text(text_col)).alias("content_hash")
-    with_hash = df.select(F.col(id_col), h)
+    # Group/join on a NULL-coalesced key (sentinel can't collide with 32-hex
+    # md5 output) so NULL-text rows form one group like the oracle's
+    # GROUP BY/PARTITION BY does, instead of being dropped by a
+    # null-rejecting equi-join; the emitted content_hash stays NULL.
+    with_hash = df.select(
+        F.col(id_col), h, F.coalesce(h, F.lit("__null_text__")).alias("_hash_k")
+    )
     # groupBy + join back, not a window over the hash: a pathological
     # corpus (one document repeated millions of times) makes the window's
     # partition a single spilling task; the agg reduces map-side
-    mins = with_hash.groupBy("content_hash").agg(F.min(id_col).alias("canonical_id"))
-    return with_hash.join(mins, "content_hash").select(
+    mins = with_hash.groupBy("_hash_k").agg(F.min(id_col).alias("canonical_id"))
+    return with_hash.join(mins, "_hash_k").select(
         id_col, "content_hash", "canonical_id"
     )
 

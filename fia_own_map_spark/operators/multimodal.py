@@ -601,9 +601,12 @@ def mp3_meta(blob: bytes, max_frames: int | None = None) -> dict:
                 "sample_rate": rate,
                 "n_channels": 1 if mode == 3 else 2,
             }
-            # Xing/Info VBR header sits after the side info of frame 0
+            # Xing/Info VBR header sits after the side info of frame 0;
+            # protection_bit clear (b1 & 1 == 0) means a 2-byte CRC-16
+            # precedes the side info (ISO 11172-3 §2.4.1.3)
             side = (17 if mode == 3 else 32) if vgroup == 0 else (9 if mode == 3 else 17)
-            tag_at = pos + 4 + (side if layer == 3 else 0)
+            crc = 2 if (b1 & 0x1) == 0 else 0
+            tag_at = pos + 4 + crc + (side if layer == 3 else 0)
             if blob[tag_at : tag_at + 4] in (b"Xing", b"Info"):
                 vbr = blob[tag_at : tag_at + 4] == b"Xing"
         n_frames += 1
@@ -981,7 +984,9 @@ def _jpeg_dims(blob: bytes) -> tuple[int, int]:
         if marker == 0xD9:
             break
         seg_len = struct.unpack_from(">H", blob, pos)[0]
-        if marker in (0xC0, 0xC1, 0xC2):
+        # whole SOF family (0xC0-0xCF except DHT/JPG/DAC): dimensions are
+        # header-readable even for SOF types the decode path rejects
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             _, h, w = struct.unpack_from(">BHH", blob, pos + 2)
             return w, h
         pos += seg_len
@@ -1045,11 +1050,21 @@ def probe_media(blob: bytes) -> dict:
                    n_channels=m["n_channels"], duration_s=m["duration_s"],
                    detail=m["profile"])
     elif blob[:3] == b"ID3" or (len(blob) > 1 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0):
-        m = mp3_meta(blob)
-        out.update(kind="mp3", sample_rate=m["sample_rate"],
-                   n_channels=m["n_channels"], duration_s=m["duration_s"],
-                   detail=f"MPEG-{m['mpeg_version']} L{m['layer']} "
-                          f"{m['avg_bitrate_kbps']:g}kbps{' VBR' if m['vbr'] else ''}")
+        # ID3v2 tags front both MP3 and .aac ADTS files: sniff the first
+        # sync word after the tag — layer bits 00 under the 0xFFF sync means
+        # ADTS AAC, anything else is an MPEG audio (MP3) frame.
+        a = _id3v2_size(blob)
+        if a + 2 <= len(blob) and blob[a] == 0xFF and (blob[a + 1] & 0xF6) == 0xF0:
+            m = aac_adts_meta(blob)
+            out.update(kind="aac", sample_rate=m["sample_rate"],
+                       n_channels=m["n_channels"], duration_s=m["duration_s"],
+                       detail=m["profile"])
+        else:
+            m = mp3_meta(blob)
+            out.update(kind="mp3", sample_rate=m["sample_rate"],
+                       n_channels=m["n_channels"], duration_s=m["duration_s"],
+                       detail=f"MPEG-{m['mpeg_version']} L{m['layer']} "
+                              f"{m['avg_bitrate_kbps']:g}kbps{' VBR' if m['vbr'] else ''}")
     else:
         raise ValueError("unrecognized media blob")
     return out

@@ -31,6 +31,25 @@ def test_exact_dedup(docs):
     assert {3, 4, 5, 6, 7} <= set(kept)
 
 
+def test_exact_dedup_null_text(spark):
+    """NULL-text rows form one dedup group (GROUP BY semantics) instead of
+    being dropped by a null-rejecting equi-join on the NULL md5 hash; the
+    emitted content_hash stays NULL to match the SQL oracle."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "same"), (1, None), (2, None), (3, "same")],
+            columns=["doc_id", "text"],
+        ).astype({"text": object})
+    )
+    groups = dedup.exact_dup_groups(df).toPandas().set_index("doc_id")
+    assert len(groups) == 4  # no row silently dropped
+    assert groups.loc[1, "canonical_id"] == 1 and groups.loc[2, "canonical_id"] == 1
+    assert pd.isna(groups.loc[1, "content_hash"]) and pd.isna(groups.loc[2, "content_hash"])
+    assert groups.loc[3, "canonical_id"] == 0
+    kept = dedup.exact_dedup(df).toPandas()["doc_id"].tolist()
+    assert sorted(kept) == [0, 1]
+
+
 def test_minhash_finds_near_dup(docs):
     pairs = dedup.minhash_lsh_pairs(
         docs, n_hashes=16, n_bands=8, shingle_k=2, jaccard_threshold=0.4
@@ -939,6 +958,50 @@ def test_aac_adts_header_scan():
 
     with pytest.raises(ValueError):
         aac_adts_meta(b"\x00" * 32)
+
+
+def test_probe_media_routing_and_header_edge_cases():
+    """r5 ADVICE regressions: ID3-prefixed AAC routes to the ADTS scanner,
+    a CRC-protected frame still finds its Xing tag, and SOF3/SOF9 JPEG
+    dimensions are header-readable even though decode rejects them."""
+    import struct
+
+    from fia_own_map_spark.operators.multimodal import mp3_meta, probe_media
+
+    def adts_frame(payload_len=50, sr_idx=4, channels=2, profile=1, blocks=1):
+        frame_len = 7 + payload_len
+        h = bytearray(7)
+        h[0], h[1] = 0xFF, 0xF1
+        h[2] = (profile << 6) | (sr_idx << 2) | ((channels >> 2) & 1)
+        h[3] = ((channels & 0x3) << 6) | ((frame_len >> 11) & 0x3)
+        h[4] = (frame_len >> 3) & 0xFF
+        h[5] = ((frame_len & 0x7) << 5) | 0x1F
+        h[6] = 0xFC | (blocks - 1)
+        return bytes(h) + bytes(payload_len)
+
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 40]) + bytes(40)
+    out = probe_media(id3 + b"".join(adts_frame() for _ in range(6)))
+    assert out["kind"] == "aac" and out["sample_rate"] == 44100
+    out = probe_media(id3 + b"".join(_mp3_frame(9, 128) for _ in range(4)))
+    assert out["kind"] == "mp3"
+
+    # protection_bit=0: 2-byte CRC precedes side info, Xing shifts by 2
+    f0 = bytearray(_mp3_frame(9, 128))
+    f0[1] &= 0xFE  # clear protection bit => CRC present
+    f0[4 + 2 + 32 : 4 + 2 + 36] = b"Xing"
+    assert mp3_meta(bytes(f0) + _mp3_frame(9, 128))["vbr"]
+    # and without the CRC offset the same placement must NOT match
+    f1 = bytearray(_mp3_frame(9, 128))
+    f1[4 + 2 + 32 : 4 + 2 + 36] = b"Xing"  # protection bit still set
+    assert not mp3_meta(bytes(f1) + _mp3_frame(9, 128))["vbr"]
+
+    # SOF3 (lossless) and SOF9 (arithmetic) dims are probe-readable
+    for sof in (0xC3, 0xC9):
+        jpg = (b"\xff\xd8" + b"\xff" + bytes([sof])
+               + struct.pack(">HBHHB", 11, 8, 33, 44, 1) + b"\x01\x11\x00"
+               + b"\xff\xd9")
+        out = probe_media(jpg)
+        assert (out["kind"], out["width"], out["height"]) == ("jpeg", 44, 33)
 
 
 def test_mp3_metadata_spark(spark):
