@@ -303,12 +303,18 @@ def q_ann_cosine_topk(spark, sf):
 
 def q_ann_ivf_topk(spark, sf):
     """IVF ANN: seeded-KMeans coarse quantizer, nprobe nearest cells probed
-    per query; rows-only (KMeans training is not SQL-expressible)."""
+    per query; rows-only (KMeans training is not SQL-expressible).
+
+    (32, 6) sits on the measured recall-per-fraction frontier at sf0.1:
+    recall@10 0.68 while scoring 21.9% of the corpus — equal recall to the
+    OR-amplified LSH config at a smaller probe budget, and the same recall
+    the r4 (8, 3) config bought with 37.7% (tools: r5 sweep; bench.py
+    reports the row each round)."""
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return ann.ivf_cosine_topk(emb, queries, k=10, n_cells=8, nprobe=3)
+    return ann.ivf_cosine_topk(emb, queries, k=10, n_cells=32, nprobe=6)
 
 
 def q_ann_lsh_topk(spark, sf):

@@ -92,18 +92,28 @@ def phase_a(sf_dir: str, cpus: int) -> tuple[dict, float, dict]:
         F.sum("j")
     ).collect()
     _materialize(qs["text_token_counts"](spark, sf_dir))
+    # two passes: the cold pass is the round-comparable headline total (same
+    # protocol as r1-r4); the warm pass re-times each query with every JIT /
+    # shuffle-path / python-worker ramp already paid, so per-query numbers
+    # are comparable across rounds regardless of suite order (r4 verdict
+    # item #6 — reordering the suite moved session-ramp cost between
+    # queries' cold walls)
     times: dict[str, float] = {}
+    times_warm: dict[str, float] = {}
     t_all = time.time()
-    for name in HEADLINE:
-        t0 = time.time()
-        _materialize(qs[name](spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
-        log(f"  [A] {name}: {times[name]}s")
-    total = round(time.time() - t_all, 3)
+    for pass_times in (times, times_warm):
+        for name in HEADLINE:
+            t0 = time.time()
+            _materialize(qs[name](spark, sf_dir))
+            pass_times[name] = round(time.time() - t0, 3)
+        tag = "cold" if pass_times is times else "warm"
+        log("  [A] " + " ".join(f"{n}={pass_times[n]}" for n in HEADLINE) + f" ({tag})")
+        if pass_times is times:
+            total = round(time.time() - t_all, 3)
     recall = ann_recall(qs, spark, sf_dir)
     codec = codec_bench(spark, cpus)
     spark.stop()
-    return times, total, recall, codec
+    return times, times_warm, total, recall, codec
 
 
 def codec_bench(spark, cpus: int) -> dict:
@@ -187,12 +197,14 @@ def lsh_candidate_fractions(spark, sf_dir: str) -> dict:
         out[name] = round(n_cand / (n_corpus * n_queries), 4)
         log(f"  [A] candidate fraction {name}: {out[name]}")
     # IVF: same budget accounting — candidates = corpus rows in probed cells
+    # (32 cells / nprobe 6 = the ann_ivf_topk contract config, chosen on the
+    # r5 frontier sweep: equal recall to LSH-multi at a smaller fraction)
     from fia_own_map_spark.operators.ann import _probe_cells, ivf_index
 
-    indexed, centroids = ivf_index(emb, n_cells=8)
+    indexed, centroids = ivf_index(emb, n_cells=32)
     q = _probe_cells(
         queries.select("query_id", F.col("embedding").alias("_qvec")),
-        centroids, 3, "_qvec",
+        centroids, 6, "_qvec",
     )
     n_cand = indexed.join(F.broadcast(q), "_cell").count()
     out["ivf_frac"] = round(n_cand / (n_corpus * n_queries), 4)
@@ -253,6 +265,14 @@ def run_er_job(cores: int, corpus: str) -> dict:
     warm = warm.repartition(cores).withColumn("j", similarity_scores("s", "s")["jw"])
     warm.agg(F.sum("j")).collect()
     pages = spark.read.parquet(corpus)
+    # warm the FULL stage-0 UDF chain (extract + normalize + phonetic —
+    # 3-4 chained ArrowEvalPython nodes): each chained UDF needs its own
+    # python worker per concurrent task, so the first stage-0 pass at 32
+    # cores forks ~100 workers that each pay pickle-import cost — measured
+    # ~2x the steady-state wall (tools/stage0_probe.py). One tiny pass
+    # pre-spawns them; identical policy at every parallelism level.
+    from fia_own_map_spark.plans.pipeline import stage0_records
+    _materialize(stage0_records(pages.limit(cores * 64).repartition(cores)))
     cfg = EngineConfig(score_mode="similarity")
     store = CheckpointStore(ckpt_root, "bench")
     t0 = time.time()
@@ -575,14 +595,13 @@ def phase_b(
     for _ in range(2):
         lo_runs.append(_pinned_run("er", 8, er_corpus))
         hi_runs.append(_pinned_run("er", 32, er_corpus))
-    # the big e2e pair (8x corpus): always at least one interleaved 8/32
-    # pair; the second rep only if the phase budget allows
+    # the big e2e pair (8x corpus): ALWAYS >=2 interleaved reps per level —
+    # this is the headline e2e proof, and the host throttles in multi-minute
+    # windows, so a single rep is a sample, not a number (r4 verdict item
+    # #3; the budget gates the cheap extra kernel rounds instead)
     er_corpus_big = _bench_corpus_path(ER_PAGES_BIG)
     lo_big, hi_big = [], []
     for rep in range(2):
-        if rep > 0 and time.time() - t_start > budget_s * 1.6:
-            log("  [B] big-pair rep 2 skipped (budget)")
-            break
         lo_big.append(_pinned_run("er", 8, er_corpus_big))
         hi_big.append(_pinned_run("er", 32, er_corpus_big))
     while time.time() - t_start <= budget_s * 0.6:
@@ -611,6 +630,13 @@ def phase_b(
         "local32": hi,
         "local8_big": lob,
         "local32_big": hib,
+        "big_repeats": len(lo_big),
+        "big_history": {
+            "e2e_8": [r["e2e_s"] for r in lo_big],
+            "e2e_32": [r["e2e_s"] for r in hi_big],
+            "records_8": [r["stage_records_s"] for r in lo_big],
+            "records_32": [r["stage_records_s"] for r in hi_big],
+        },
         "scaling_efficiency_e2e_big": eff_e2e_big,
         "kernel_best": {
             2: kbest[("criterion", 2)],
@@ -637,6 +663,45 @@ def phase_b(
         ),
         "scaling_efficiency_e2e": eff_e2e,
     }
+
+
+def _big_pair_claim(scaling: dict) -> str:
+    """The 8x-pair headline sentence, COMPUTED from the measured numbers —
+    never a template assertion (r4 verdict item #2: the r4 report shipped
+    prose claiming e2e_32 < e2e_8 above a table showing the opposite).
+    Every claim below restates a value from the table it follows."""
+    lob, hib = scaling["local8_big"], scaling["local32_big"]
+    speedup = round(lob["e2e_s"] / hib["e2e_s"], 2)
+    eff = scaling["scaling_efficiency_e2e_big"]
+    lines = [
+        f"End-to-end efficiency: `{eff}` vs the 4x core ratio "
+        f"(measured speedup {speedup}x: {lob['e2e_s']}s at 8 cores vs "
+        f"{hib['e2e_s']}s at 32; the 200k table above is the fixed-cost "
+        f"exhibit: same job, overhead-dominated)."
+    ]
+    if hib["e2e_s"] < lob["e2e_s"]:
+        lines.append(
+            f"local[32] wins outright at this size (e2e_32 = {hib['e2e_s']}s "
+            f"< e2e_8 = {lob['e2e_s']}s), as the r3/r4 verdicts required."
+        )
+    else:
+        lines.append(
+            f"**REGRESSION: local[32] ({hib['e2e_s']}s) does NOT beat "
+            f"local[8] ({lob['e2e_s']}s) in this run** — the e2e scaling "
+            f"proof did not land; treat the pair as red until re-measured."
+        )
+    s_lo, s_hi = lob["stage_records_s"], hib["stage_records_s"]
+    if s_hi <= s_lo:
+        lines.append(
+            f"Stage 0 (extract+classify) scales: {s_lo}s at 8 cores -> "
+            f"{s_hi}s at 32 (the r4 anti-scaling is gone)."
+        )
+    else:
+        lines.append(
+            f"**Stage 0 (extract+classify) still anti-scales in this run: "
+            f"{s_lo}s at 8 cores -> {s_hi}s at 32.**"
+        )
+    return "\n".join(lines)
 
 
 def write_baseline_md(
@@ -740,6 +805,11 @@ at this scale, see note above).
 The same job on an 8x corpus, where the compute stages (extract/classify,
 pair scoring) dominate the fixed orchestration floor — this is the pair the
 r3 verdict asked for: local[32] must win outright, not amortize to parity.
+Best of {scaling.get('big_repeats')} interleaved reps per level (all reps:
+e2e_8 {scaling.get('big_history', {}).get('e2e_8')} ·
+e2e_32 {scaling.get('big_history', {}).get('e2e_32')} ·
+records_8 {scaling.get('big_history', {}).get('records_8')} ·
+records_32 {scaling.get('big_history', {}).get('records_32')}).
 
 | metric | local[8] | local[32] |
 |---|---|---|
@@ -750,9 +820,7 @@ r3 verdict asked for: local[32] must win outright, not amortize to parity.
 | stage: cluster (CC) (s) | {lob['stage_cluster_s']} | {hib['stage_cluster_s']} |
 | node candidate pairs scored | {lob['pairs_scored']} | {hib['pairs_scored']} |
 
-End-to-end efficiency: `{scaling['scaling_efficiency_e2e_big']}` vs the 4x
-core ratio; the headline fact is e2e_32 < e2e_8 at this size (the 200k
-table above is the fixed-cost exhibit: same job, overhead-dominated).
+{_big_pair_claim(scaling)}
 This pair exists because of the r4 skew work: record-level windows keyed by
 cluster id used to put the transitive closure's giant head component (31k
 nodes at an 800k-page probe) into ONE spilling task — 888s e2e at HALF this
@@ -765,7 +833,7 @@ corpus before the groupBy+join rewrite; the full 8x corpus now runs in
 
 | path | recall@10 | corpus fraction scored (measured) |
 |---|---|---|
-| IVF (8 cells, nprobe=3) | {ann_recall.get('ann_ivf_topk')} | {ann_recall.get('ivf_frac')} |
+| IVF (32 cells, nprobe=6) | {ann_recall.get('ann_ivf_topk')} | {ann_recall.get('ivf_frac')} |
 | LSH single table (6 planes, flip-1) | {ann_recall.get('ann_lsh_topk')} | {ann_recall.get('lsh_frac')} |
 | LSH OR-amplified (7 tables x 8 planes, flip-1) | {ann_recall.get('ann_lsh_multi_topk')} | {ann_recall.get('lsh_multi_frac')} |
 
@@ -808,7 +876,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     os.makedirs(CACHE, exist_ok=True)
 
-    queries, total, recall, codec = phase_a(sf_dir, cpus)
+    queries, queries_warm, total, recall, codec = phase_a(sf_dir, cpus)
 
     scaling = None
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
@@ -820,6 +888,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "queries_warm": queries_warm,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "ann_recall_at_10": recall,
         "codec": codec,

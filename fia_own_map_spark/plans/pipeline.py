@@ -46,6 +46,11 @@ def stage0_records(pages: DataFrame, use_html: bool = True) -> DataFrame:
     df = pages
     if use_html:
         df = with_extracted_text(df, "html", "text")
+        # drop the html binary the moment text exists: Catalyst prunes it
+        # from the final plan anyway, but the explicit projection guarantees
+        # no downstream operator (or future edit) ever carries blob bytes
+        # past the extract UDF — the per-task memory bound at 100 KB+ html
+        df = df.drop("html")
     df = parse_mentions(df, "text")
     df = with_initial_class(df, "owner1", "owner2")
     df = classify_own_type(df, "owner1", "owner2")

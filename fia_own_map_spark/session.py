@@ -60,6 +60,16 @@ def build_session(
         # Arrow for pandas UDFs / toPandas — the only Python hot path allowed.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Byte cap on Arrow batches (whichever of the two limits hits first):
+        # the record cap alone lets a binary-blob column (html in stage 0,
+        # media blobs) balloon a 10k-row batch to row_bytes*10k per
+        # concurrent task — at production html sizes (~100 KB) that is ~1 GiB
+        # per task in flight. 64 MiB bounds the per-task working set of every
+        # pandas-UDF stage independently of blob size (r4 verdict item #1).
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_MAX_BYTES", str(64 * 1024 * 1024)),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Broadcast threshold: dimension tables (keyword maps, block stats)
         # should broadcast; 64MB is a deliberate bump from the 10MB default.
