@@ -21,10 +21,13 @@ Codecs in this container:
     javax.imageio / libjpeg within the T.81 conformance tolerance. Adobe
     APP14 transform=0 (stored-RGB) is honored. Only arithmetic coding,
     12-bit precision and 4-component CMYK/YCCK raise NotImplementedError.
-  * ``wav``  — REAL decoder/encoder for RIFF/WAVE PCM audio (8/16/24/32-bit
+  * ``wav``  — REAL decoder/encoder for RIFF/WAVE audio: PCM (8/16/24/32-bit
     int + 32/64-bit float, any channel count, incl. WAVE_FORMAT_EXTENSIBLE
-    wrappers), plus ``audio_featurize`` (duration / RMS / zero-crossing
-    rate / peak per channel).
+    wrappers) AND compressed sample decode for G.711 mu-law (fmt 7) /
+    A-law (fmt 6) and IMA ADPCM (fmt 0x11, block-vectorized); plus
+    ``audio_featurize`` (duration / RMS / zero-crossing rate / peak per
+    channel). Differential-tested against CPython's independent
+    ``audioop`` C implementations.
   * ``fake`` — deterministic synthetic blob (``b"IMG|w|h|payload"``) for
     plumbing tests.
   * ``avi``  — REAL container parser for MJPEG AVI video (RIFF tree walk,
@@ -402,22 +405,120 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# real codec: RIFF/WAVE PCM audio
+# real codec: RIFF/WAVE audio (PCM + G.711 + IMA ADPCM sample decode)
 # ---------------------------------------------------------------------------
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """(mu-law, A-law) 256-entry code -> int16 expansion tables, computed
+    from the ITU-T G.711 segment formulas (not vendored): mu-law is the
+    biased 8-segment log curve (bias 0x84), A-law the 13-segment curve with
+    the 0x55 toggle. Differential-tested code-for-code against CPython
+    audioop's independent C tables (tests/test_ops.py)."""
+    codes = np.arange(256, dtype=np.int32)
+    u = ~codes & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+    a = codes ^ 0x55
+    seg = (a >> 4) & 0x07
+    mant = a & 0x0F
+    t = np.where(seg == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(seg - 1, 0))
+    alaw = np.where(a & 0x80, t, -t).astype(np.int16)
+    return ulaw, alaw
+
+
+_ULAW2LIN, _ALAW2LIN = _g711_tables()
+
+# IMA/DVI ADPCM quantizer tables (IMA ADPCM reference algorithm; also
+# Microsoft WAVE_FORMAT_IMA_ADPCM = 0x11)
+_IMA_STEPS = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+     45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+     209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+     796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+     2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+     7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+     20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_decode_blocks(pred0: np.ndarray, idx0: np.ndarray, nibbles: np.ndarray) -> np.ndarray:
+    """Vectorized-across-blocks IMA ADPCM core: every block is an
+    independent predictor chain, so the sequential recurrence runs once
+    over nibble POSITIONS while numpy does all blocks per step (the same
+    shape as the PNG wavefront unfilter — O(samples_per_block) python
+    steps regardless of file length).
+
+    pred0/idx0: (n_blocks,) initial predictor / step index per block;
+    nibbles: (n_blocks, n) uint8 codes. Returns (n_blocks, n) int16."""
+    n_blocks, n = nibbles.shape
+    out = np.empty((n_blocks, n), dtype=np.int16)
+    pred = pred0.astype(np.int32).copy()
+    idx = np.clip(idx0.astype(np.int32), 0, 88)
+    for j in range(n):
+        nib = nibbles[:, j].astype(np.int32)
+        step = _IMA_STEPS[idx]
+        diff = (step >> 3) + np.where(nib & 1, step >> 2, 0)
+        diff += np.where(nib & 2, step >> 1, 0) + np.where(nib & 4, step, 0)
+        pred = np.clip(pred + np.where(nib & 8, -diff, diff), -32768, 32767)
+        out[:, j] = pred
+        idx = np.clip(idx + _IMA_INDEX[nib & 7], 0, 88)
+    return out
+
+
+def _decode_ima_adpcm(data: bytes, n_ch: int, block_align: int) -> np.ndarray:
+    """WAV IMA ADPCM (format 0x11) data chunk -> (n_frames, n_ch) int16.
+
+    Block layout per the Microsoft multimedia registration: per-channel
+    4-byte header (int16 predictor = first output sample, uint8 step
+    index, reserved), then 4-byte-per-channel interleaved words, low
+    nibble first."""
+    if block_align <= 4 * n_ch:
+        raise ValueError("IMA ADPCM block_align too small for headers")
+    if (block_align - 4 * n_ch) % (4 * n_ch):
+        raise NotImplementedError("non-word-aligned IMA ADPCM block layout")
+    n_blocks = len(data) // block_align
+    if n_blocks == 0:
+        return np.empty((0, n_ch), dtype=np.int16)
+    arr = np.frombuffer(data[: n_blocks * block_align], dtype=np.uint8).reshape(
+        n_blocks, block_align
+    )
+    hdr = arr[:, : 4 * n_ch].reshape(n_blocks, n_ch, 4)
+    pred0 = (hdr[:, :, 0].astype(np.uint16) | (hdr[:, :, 1].astype(np.uint16) << 8)).view(
+        np.int16
+    )
+    idx0 = hdr[:, :, 2]
+    # words: (n_blocks, n_groups, n_ch, 4 bytes); group g word c belongs to channel c
+    words = arr[:, 4 * n_ch :].reshape(n_blocks, -1, n_ch, 4)
+    spb = words.shape[1] * 8 + 1  # samples per block per channel (incl. header sample)
+    chans = []
+    for c in range(n_ch):
+        byts = words[:, :, c, :].reshape(n_blocks, -1)
+        nib = np.empty((n_blocks, byts.shape[1] * 2), dtype=np.uint8)
+        nib[:, 0::2] = byts & 0x0F
+        nib[:, 1::2] = byts >> 4
+        decoded = _ima_decode_blocks(pred0[:, c], idx0[:, c], nib)
+        chans.append(np.concatenate([pred0[:, c : c + 1], decoded], axis=1))
+    # (n_blocks, spb, n_ch) -> interleaved frames
+    return np.stack(chans, axis=2).reshape(n_blocks * spb, n_ch)
+
+
 def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> ((n_frames, n_channels) float64 in [-1, 1], sample_rate).
 
-    Supports PCM (format 1: 8-bit unsigned, 16/24/32-bit signed) and IEEE
-    float (format 3: float32/float64), any channel count, plus
-    WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers of either via the
-    KSDATAFORMAT subformat GUID. Compressed formats (MP3-in-WAV etc.)
-    raise NotImplementedError."""
+    Supports PCM (format 1: 8-bit unsigned, 16/24/32-bit signed), IEEE
+    float (format 3: float32/float64), G.711 mu-law/A-law (formats 7/6,
+    table expansion) and IMA ADPCM (format 0x11, real block decode,
+    vectorized across blocks), any channel count, plus
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers via the KSDATAFORMAT
+    subformat GUID. The ``fact`` chunk (when present) trims compressed
+    streams to their true frame count. Other compressed formats
+    (MP3-in-WAV etc.) raise NotImplementedError."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a WAV blob")
     pos = 12
     fmt = None
     fmt_body = None
     data = None
+    fact_frames = None
     while pos + 8 <= len(blob):
         cid = blob[pos : pos + 4]
         size = struct.unpack_from("<I", blob, pos + 4)[0]
@@ -427,10 +528,12 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
             fmt_body = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            fact_frames = struct.unpack_from("<I", body, 0)[0]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_fmt, n_ch, rate, _byte_rate, _block_align, bits = fmt
+    audio_fmt, n_ch, rate, _byte_rate, block_align, bits = fmt
     if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: subformat GUID leads
         # fmt body: 16 standard bytes + cbSize(2) + validBits(2) +
         # channelMask(4) + SubFormat GUID(16); the GUID's first two bytes
@@ -464,9 +567,20 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     elif audio_fmt == 3:  # IEEE float
         dtype = "<f4" if bits == 32 else "<f8"
         samples = np.frombuffer(data, dtype=dtype).astype(np.float64)
+    elif audio_fmt in (6, 7):  # G.711 A-law / mu-law: one code byte per sample
+        table = _ALAW2LIN if audio_fmt == 6 else _ULAW2LIN
+        samples = table[np.frombuffer(data, dtype=np.uint8)].astype(np.float64) / 32768.0
+    elif audio_fmt == 0x11:  # IMA ADPCM: real block decode
+        frames = _decode_ima_adpcm(data, n_ch, block_align)
+        if fact_frames is not None:
+            frames = frames[:fact_frames]
+        return frames.astype(np.float64) / 32768.0, rate
     else:
         raise NotImplementedError(f"WAV format code {audio_fmt} (compressed?)")
-    return samples.reshape(-1, n_ch), rate
+    out = samples.reshape(-1, n_ch)
+    if fact_frames is not None and audio_fmt not in (1, 3):
+        out = out[:fact_frames]
+    return out, rate
 
 
 def encode_wav(samples: np.ndarray, rate: int, bits: int = 16) -> bytes:
@@ -1012,7 +1126,7 @@ def probe_media(blob: bytes) -> dict:
         w, h = struct.unpack_from("<ii", blob, 18)
         out.update(kind="bmp", width=w, height=abs(h))
     elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
-        pos, fmt, data_size = 12, None, None
+        pos, fmt, data_size, fact_frames = 12, None, None, None
         while pos + 8 <= len(blob):
             cid = blob[pos : pos + 4]
             size = struct.unpack_from("<I", blob, pos + 4)[0]
@@ -1020,11 +1134,20 @@ def probe_media(blob: bytes) -> dict:
                 fmt = struct.unpack_from("<HHIIHH", blob, pos + 8)
             elif cid == b"data":
                 data_size = size
+            elif cid == b"fact" and size >= 4:
+                fact_frames = struct.unpack_from("<I", blob, pos + 8)[0]
             pos += 8 + size + (size & 1)
         if fmt is None:
             raise ValueError("WAV missing fmt chunk")
-        _, n_ch, rate, _, block_align, bits = fmt
+        afmt, n_ch, rate, _, block_align, bits = fmt
         dur = (data_size / (rate * block_align)) if (data_size and block_align) else None
+        if afmt == 0x11 and data_size and block_align > 4 * n_ch:
+            # ADPCM frames-per-block != bytes-per-frame: header sample + 2
+            # samples per data byte per channel
+            spb = (block_align - 4 * n_ch) * 2 // n_ch + 1
+            dur = (data_size // block_align) * spb / rate
+        if fact_frames is not None and afmt not in (1, 3) and rate:
+            dur = fact_frames / rate  # fact chunk is authoritative for compressed
         out.update(kind="wav", sample_rate=rate, n_channels=n_ch,
                    duration_s=round(dur, 6) if dur else None, detail=f"{bits}-bit")
     elif blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":

@@ -1105,6 +1105,109 @@ def test_wav_codec_differential_stdlib():
         multimodal.decode_wav(wav_blob(85, 16, b"\0\0"))  # MP3-in-WAV
 
 
+def _wav_chunks(fmt: bytes, data: bytes, extra: bytes = b"") -> bytes:
+    import struct as st
+
+    body = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt + extra
+    body += b"data" + st.pack("<I", len(data)) + data
+    return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+def test_wav_g711_differential_audioop():
+    """G.711 mu-law/A-law sample decode vs CPython audioop's independent C
+    tables: every one of the 256 codes, both laws, through a real WAV blob
+    (format 7 / 6). The tables are computed from the ITU segment formulas,
+    so a single mismatched code means a formula bug."""
+    import struct as st
+
+    import numpy as np
+
+    audioop = pytest.importorskip("audioop")  # removed in 3.13
+    codes = bytes(range(256))
+    for fmt_code, law in [(7, audioop.ulaw2lin), (6, audioop.alaw2lin)]:
+        fmt = st.pack("<HHIIHH", fmt_code, 1, 8000, 8000, 1, 8)
+        got, rate = multimodal.decode_wav(_wav_chunks(fmt, codes))
+        assert rate == 8000 and got.shape == (256, 1)
+        ref = np.frombuffer(law(codes, 2), dtype="<i2").astype(np.float64) / 32768.0
+        assert np.array_equal(got[:, 0], ref)
+
+
+def test_wav_ima_adpcm_differential_audioop():
+    """IMA ADPCM (WAV format 0x11) block decode vs audioop.adpcm2lin with
+    explicit state threading: random nibble streams, mono and stereo
+    block layouts, plus the fact-chunk frame trim. audioop packs the
+    FIRST sample in the HIGH nibble while IMA WAV packs it low, so the
+    reference stream is nibble-swapped — a decoder that got the order
+    wrong fails on the first byte."""
+    import struct as st
+
+    import numpy as np
+
+    audioop = pytest.importorskip("audioop")
+    rng = np.random.default_rng(7)
+
+    def build(n_ch, block_align, n_blocks, fact=None):
+        blocks = []
+        for _ in range(n_blocks):
+            hdr = b"".join(
+                st.pack("<hBB", int(rng.integers(-32768, 32768)), int(rng.integers(0, 89)), 0)
+                for _ in range(n_ch)
+            )
+            data = bytes(rng.integers(0, 256, size=block_align - 4 * n_ch, dtype=np.uint8))
+            blocks.append(hdr + data)
+        spb = (block_align - 4 * n_ch) * 2 // n_ch + 1
+        fmt = st.pack("<HHIIHH", 0x11, n_ch, 8000, 4000, block_align, 4)
+        fmt += st.pack("<HH", 2, spb)
+        extra = b"" if fact is None else b"fact" + st.pack("<II", 4, fact)
+        return _wav_chunks(fmt, b"".join(blocks), extra), blocks, spb
+
+    def ref_channel(blocks, c, n_ch):
+        out = []
+        for blk in blocks:
+            pred, idx, _ = st.unpack_from("<hBB", blk, 4 * c)
+            byts = np.frombuffer(blk[4 * n_ch :], dtype=np.uint8)
+            if n_ch > 1:
+                byts = byts.reshape(-1, n_ch, 4)[:, c, :].reshape(-1)
+            swapped = bytes(((byts & 0x0F) << 4) | (byts >> 4))
+            dec, _state = audioop.adpcm2lin(swapped, 2, (pred, idx))
+            out.append(np.array([pred], dtype=np.int64))
+            out.append(np.frombuffer(dec, dtype="<i2").astype(np.int64))
+        return np.concatenate(out)
+
+    blob, blocks, spb = build(1, 256, 5)
+    got, rate = multimodal.decode_wav(blob)
+    assert rate == 8000 and got.shape == (5 * spb, 1)
+    assert np.array_equal(
+        np.round(got[:, 0] * 32768).astype(np.int64), ref_channel(blocks, 0, 1)
+    )
+
+    blob2, blocks2, spb2 = build(2, 264, 3, fact=700)
+    got2, _ = multimodal.decode_wav(blob2)
+    assert got2.shape == (700, 2)  # fact trims 3*spb2=771 -> 700
+    for c in range(2):
+        assert np.array_equal(
+            np.round(got2[:, c] * 32768).astype(np.int64), ref_channel(blocks2, c, 2)[:700]
+        )
+    # header-only probe: ADPCM frames-per-block math + fact authority
+    out = multimodal.probe_media(blob2)
+    assert out["kind"] == "wav" and out["duration_s"] == round(700 / 8000, 6)
+    out1 = multimodal.probe_media(blob)
+    assert out1["duration_s"] == round(5 * spb / 8000, 6)
+
+
+def test_wav_ima_adpcm_spec_vector():
+    """Hand-computed IMA quantizer chain from the reference algorithm:
+    state (pred=0, index=0), nibbles [0x0, 0x5, 0xF] ->
+    samples [0, 8, -11] (step 7: diff 0; diff 1+7; step 11 signed
+    diff -(1+2+5+11))."""
+    import numpy as np
+
+    out = multimodal._ima_decode_blocks(
+        np.array([0]), np.array([0]), np.array([[0x0, 0x5, 0xF]], dtype=np.uint8)
+    )
+    assert out.tolist() == [[0, 8, -11]]
+
+
 def test_jpeg_adobe_app14_transform0():
     """A 3-component JPEG whose Adobe APP14 marker says transform=0 stores
     RGB planes directly — the decoder must skip the YCbCr->RGB transform.
@@ -1368,3 +1471,41 @@ def test_asof_join_preserves_matched_nulls(spark):
     got = {r["tag"]: r["rv"] for r in
            asof_join(left, right, ["k"], "ts", "ts", ["rv"]).collect()}
     assert got == {"hits-100": 100, "hits-null-row": None}
+
+
+def test_gopher_repetition_features(spark):
+    """Hand-computable line shapes: 4 lines, one duplicated; one bullet;
+    one ellipsis line; NULL text yields all-zero fractions (size(NULL)
+    semantics must not leak -1s)."""
+    rows = [
+        ("a", "alpha beta\n- item one\n- item one\nthe end..."),
+        ("b", None),
+        ("c", "word"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    out = {
+        r["id"]: r
+        for r in text.gopher_repetition_features(df).collect()
+    }
+    a = out["a"]
+    assert a["dup_line_frac"] == 0.25  # 4 lines, 1 dup
+    # dup chars: '- item one' (10) / total chars (10+10+10+10=40... compute)
+    total = len("alpha beta") + len("- item one") * 2 + len("the end...")
+    assert a["dup_line_char_frac"] == round(10 / total, 6)
+    assert a["bullet_line_frac"] == 0.5
+    assert a["ellipsis_line_frac"] == 0.25
+    assert a["alpha_word_frac"] == 0.8  # the two bare '-' tokens have no alpha
+    b = out["b"]
+    assert b["dup_line_frac"] == 0.0 and b["alpha_word_frac"] == 0.0
+    c = out["c"]
+    assert c["dup_line_frac"] == 0.0 and c["alpha_word_frac"] == 1.0
+
+
+def test_pii_scrub(spark):
+    df = spark.createDataFrame(
+        [("a", "mail x.y+z@a.co.uk ip 10.0.0.1 ph 555-123-4567 ssn 123-45-6789 end")],
+        "id string, text string",
+    )
+    r = text.pii_scrub(df).collect()[0]
+    assert (r["n_email"], r["n_ssn"], r["n_phone"], r["n_ipv4"]) == (1, 1, 1, 1)
+    assert r["clean_text"] == "mail [EMAIL] ip [IP] ph [PHONE] ssn [SSN] end"
