@@ -6,8 +6,10 @@ entry(spark)  — flagship: the three-stage ER pipeline (blocking -> exact-key
 queries()     — one entry per implemented operator family (SURVEY.md §2 +
                 training-data ops); each callable is (spark, sf_dir) -> DataFrame.
 oracle_sql()  — DuckDB-equivalent SQL for every SQL-expressible query; ops
-                that are inherently non-SQL (simhash/winnowing UDFs, LSH-ANN)
-                are rows-only by design. The metaphone-keyed flagship IS
+                that are inherently non-SQL (xxhash64 MinHash, LSH/IVF-ANN)
+                are rows-only by design — each with a value-checked sibling
+                (md5 MinHash, brute-force ANN; the FNV simhash is
+                value-checked directly via a list_reduce FNV-1a in SQL). The metaphone-keyed flagship IS
                 value-checked: fingerprints are recomputed natively in SQL
                 and only the fingerprint->code hop joins a vendored mapping
                 (tests/data/dm_keys_sf001.csv, every entry cross-checked
@@ -287,6 +289,174 @@ def q_text_fingerprint(spark, sf):
     variant, `text.doc_fingerprint`, stays the internal API)."""
     return _t(spark, sf, "documents").select(
         "doc_id", text.doc_fingerprint_md5("text").alias("fingerprint")
+    )
+
+
+def q_media_probe_mixed(spark, sf):
+    """media_probe over a deterministic mixed binary media column (PCM /
+    IMA-ADPCM / mu-law WAV, BMP, fake) synthesized per doc_id. The oracle
+    predicts every probed field in closed form from the same doc_id
+    arithmetic — an end-to-end check that the header scanners extract
+    exactly the values the writers encoded (sizes picked so all durations
+    are exact at 6dp: k/8000 always terminates within 6 decimals)."""
+    import struct as st
+
+    import numpy as np
+    import pandas as pd
+
+    from fia_own_map_spark.operators import multimodal as mm
+
+    def _gen(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = did % 5
+                if k == 0:  # PCM16 WAV
+                    rate = 8000 * (1 + (did % 10) // 5)
+                    n = 400 + 2 * (did % 50)
+                    ch = 1 + did % 2
+                    blob = mm.encode_wav(np.zeros((n, ch)), rate)
+                elif k == 1:  # IMA ADPCM WAV (+ fact on every other)
+                    nb = 1 + did % 3
+                    blocks = b"".join(
+                        st.pack("<hBB", 0, 0, 0) + bytes([did % 256]) * 252
+                        for _ in range(nb)
+                    )
+                    fmt = st.pack("<HHIIHH", 0x11, 1, 8000, 4096, 256, 4)
+                    fmt += st.pack("<HH", 2, 505)
+                    body = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+                    if did % 2 == 0:
+                        body += b"fact" + st.pack("<II", 4, nb * 505 - 17)
+                    body += b"data" + st.pack("<I", len(blocks)) + blocks
+                    blob = b"RIFF" + st.pack("<I", len(body)) + body
+                elif k == 2:  # G.711 mu-law WAV
+                    n = 300 + did % 50
+                    fmt = st.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+                    body = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+                    body += b"data" + st.pack("<I", n) + bytes([did % 256]) * n
+                    blob = b"RIFF" + st.pack("<I", len(body)) + body
+                elif k == 3:  # 24-bit BMP
+                    w, h = 4 + did % 4, 3 + did % 3
+                    blob = mm.encode_bmp(np.full((h, w, 3), did % 256, dtype=np.uint8))
+                else:  # fake plumbing blob
+                    w, h = 10 + did % 9, 5 + did % 6
+                    blob = b"IMG|%d|%d|%s" % (w, h, b"x" * (did % 7 + 1))
+                rows.append((str(did), blob))
+            yield pd.DataFrame(rows, columns=["media_id", "blob"])
+
+    from fia_own_map_spark.operators.multimodal import media_probe
+
+    blobs = _t(spark, sf, "documents").select("doc_id").mapInPandas(
+        _gen, "media_id string, blob binary"
+    )
+    return media_probe(blobs).select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "kind", "width", "height", "sample_rate", "n_channels",
+        "duration_s", "detail", "n_bytes",
+    )
+
+
+def _structured_text_expr():
+    """Deterministic multi-line rebuild of the document text (sentence
+    breaks -> newlines, plus a duplicated bullet line and an ellipsis
+    line) so the line-shape features are actually exercised; mirrored 1:1
+    in the oracle."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.regexp_replace(F.col("text"), r"\. ", ".\n"),
+        F.lit("\n- bullet point "), (did % 3).cast("string"),
+        F.lit("\n- bullet point "), (did % 3).cast("string"),
+        F.lit("\nthe end..."),
+    )
+
+
+def q_text_gopher(spark, sf):
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", _structured_text_expr().alias("text")
+    )
+    return text.gopher_repetition_features(docs).select(
+        "doc_id", "dup_line_frac", "dup_line_char_frac", "symbol_word_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+    )
+
+
+def q_text_pii_scrub(spark, sf):
+    did = F.col("doc_id")
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did.cast("string"),
+            F.lit("@mail.example.com or 10.0."), (did % 256).cast("string"),
+            F.lit(".7 ph 555-867-530"), (did % 10).cast("string"),
+            F.lit(" ssn 123-45-678"), (did % 10).cast("string"),
+        ).alias("text"),
+    )
+    return text.pii_scrub(docs).select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "clean_text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL queries (web-pipeline feature block; all native exprs — F.parse_url
+# is the JVM java.net.URI grammar, cross-checked against DuckDB's
+# independent regexp grammar by the oracle)
+# ---------------------------------------------------------------------------
+def _doc_url_expr():
+    """Deterministic synthetic URL per document (subdomain / multi-label
+    public suffix / port / path depth / query params incl. utm_ tracking /
+    fragment all vary by doc_id arithmetic, mirrored 1:1 in the oracle)."""
+    did = F.col("doc_id")
+    sub = F.element_at(
+        F.array(F.lit("www."), F.lit("blog."), F.lit("")), (did % 3 + 1).cast("int")
+    )
+    suffix = F.element_at(
+        F.array(F.lit(".co.uk"), F.lit(".com"), F.lit(".net.au"), F.lit(".org")),
+        (did % 4 + 1).cast("int"),
+    )
+    port = F.when(did % 5 == 0, F.lit(":8080")).otherwise(F.lit(""))
+    depth = did % 4
+    path = (
+        F.when(depth == 0, F.lit(""))
+        .when(depth == 1, F.lit("/a"))
+        .when(depth == 2, F.lit("/a/b"))
+        .otherwise(F.lit("/a/b/c/"))
+    )
+    query = (
+        F.when(did % 7 == 0, F.lit(""))
+        .when(did % 2 == 0, F.concat(F.lit("?id="), did, F.lit("&utm_source=feed&q=term")))
+        .otherwise(F.concat(F.lit("?id="), did))
+    )
+    frag = F.when(did % 6 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    return F.concat(F.lit("https://"), sub, F.col("source"), suffix, port, path, query, frag)
+
+
+def q_url_features(spark, sf):
+    from fia_own_map_spark.functions import url as U
+
+    docs = _t(spark, sf, "documents").select("doc_id", _doc_url_expr().alias("url"))
+    return U.with_url_features(docs).select(
+        "doc_id",
+        "url",
+        "host",
+        "reg_domain",
+        "path_depth",
+        U.url_query_param("url", "id").alias("id_param"),
+        U.strip_tracking_params("url").alias("clean_url"),
+    )
+
+
+def q_url_domain_rollup(spark, sf):
+    from fia_own_map_spark.functions import url as U
+
+    docs = _t(spark, sf, "documents").select("doc_id", _doc_url_expr().alias("url"))
+    feats = U.with_url_features(docs)
+    return feats.groupBy("reg_domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.round(F.avg("path_depth"), 6).alias("avg_depth"),
+        F.min("doc_id").alias("min_doc"),
     )
 
 
@@ -635,7 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_minhash_fast": q_dedup_minhash_fast,      # rows-only (xxhash64 family)
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,    # rows-only (FNV simhash UDF)
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,    # FNV-in-SQL oracle (r5)
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         # text analysis
@@ -644,10 +814,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
+        "text_gopher": q_text_gopher,
+        "text_pii_scrub": q_text_pii_scrub,
+        # multimodal header probe (closed-form oracle; r5)
+        "media_probe_mixed": q_media_probe_mixed,
+        # URL features (web-pipeline block; r5)
+        "url_features": q_url_features,
+        "url_domain_rollup": q_url_domain_rollup,
         # ANN
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,                  # rows-only (approx by design)
-        "ann_lsh_multi_topk": q_ann_lsh_multi_topk,      # rows-only (approx by design)
+        "ann_lsh_topk": q_ann_lsh_topk,                  # seeded-plane SQL oracle (r5)
+        "ann_lsh_multi_topk": q_ann_lsh_multi_topk,      # seeded-plane SQL oracle (r5)
         "ann_ivf_topk": q_ann_ivf_topk,                  # rows-only (KMeans quantizer)
         # relational operator parity
         "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -670,6 +847,239 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lut_recode_nation": q_lut_recode_nation,
         "initial_class_parts": q_initial_class_parts,
     }
+
+
+def _lsh_oracle_sql(n_planes: int, n_tables: int, dim: int = 64, k: int = 10) -> str:
+    """DuckDB oracle for the sign-LSH ANN queries (r5: converts them from
+    rows-only to value-checked).
+
+    The hyperplanes are seeded literals (ann._seeded_planes), so the oracle
+    inlines the exact same float64 values. The one precision trap: Spark's
+    `dot` is a SEQUENTIAL left fold (F.aggregate over zip_with, init 0.0) —
+    sign bits compare `>= 0` UNROUNDED, so the oracle mirrors the fold
+    bit-for-bit with list_reduce(list_prepend(0.0, ...)) instead of
+    list_dot_product (whose summation order is unspecified; fine for the
+    6dp-rounded brute-force scores, not for a sign decision at the
+    boundary). Flip-1 multiprobe + cross-table candidate dedup + exact
+    re-rank reproduce ann.lsh_cosine_topk exactly."""
+    from fia_own_map_spark.operators.ann import _seeded_planes
+
+    tables = [(lbl, _seeded_planes(n_planes, dim, 42 + 7919 * lbl)) for lbl in range(n_tables)]
+    plane_rows = ",".join(
+        f"({lbl}, {i}, [{', '.join(repr(x) for x in p)}])"
+        for lbl, planes in tables
+        for i, p in enumerate(planes)
+    )
+    fold = lambda v, p: (  # noqa: E731 — Spark's F.aggregate left fold, exactly
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
+        f"i -> {v}[i]::DOUBLE * {p}[i])), (a, b) -> a + b)"
+    )
+    foldsq = lambda v: (  # noqa: E731
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
+        f"i -> {v}[i]::DOUBLE * {v}[i]::DOUBLE)), (a, b) -> a + b)"
+    )
+    return f"""
+        WITH planes(tbl, pi, pv) AS (VALUES {plane_rows}),
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        cb AS (
+          SELECT e.vec_id, p.tbl,
+                 CAST(p.tbl AS VARCHAR) || '|' || string_agg(
+                   CASE WHEN {fold('e.embedding', 'p.pv')} >= 0 THEN '1' ELSE '0' END,
+                   '' ORDER BY p.pi) AS bucket
+          FROM embeddings e, planes p GROUP BY e.vec_id, p.tbl),
+        qb AS (
+          SELECT q.query_id, p.tbl,
+                 string_agg(
+                   CASE WHEN {fold('q.qv', 'p.pv')} >= 0 THEN '1' ELSE '0' END,
+                   '' ORDER BY p.pi) AS bucket
+          FROM q, planes p GROUP BY q.query_id, p.tbl),
+        probes AS (
+          SELECT query_id, CAST(tbl AS VARCHAR) || '|' || bucket AS probe FROM qb
+          UNION ALL
+          SELECT query_id, CAST(tbl AS VARCHAR) || '|' ||
+            (substr(bucket, 1, j - 1)
+             || (CASE WHEN substr(bucket, j, 1) = '1' THEN '0' ELSE '1' END)
+             || substr(bucket, j + 1)) AS probe
+          FROM qb, range(1, {n_planes + 1}) r(j)),
+        cand AS (
+          SELECT DISTINCT p.query_id, c.vec_id
+          FROM probes p JOIN cb c ON c.bucket = p.probe),
+        scored AS (
+          SELECT cand.query_id, cand.vec_id,
+            round(CASE WHEN sqrt({foldsq('e.embedding')}) * sqrt({foldsq('q.qv')}) = 0 THEN 0.0
+                  ELSE {fold('e.embedding', 'q.qv')}
+                       / (sqrt({foldsq('e.embedding')}) * sqrt({foldsq('q.qv')})) END, 6) AS score
+          FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+                    JOIN q ON q.query_id = cand.query_id)
+        SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank FROM (
+          SELECT query_id, vec_id, score,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+          FROM scored) WHERE rank <= {k}
+    """
+
+
+def _pii_sql() -> str:
+    """PII-scrub oracle: patterns come from the SAME PII_PATTERNS list the
+    Spark operator uses (lockstep by construction); DuckDB's RE2 engine
+    independently re-executes them (counts on original text, chained
+    'g'-flag replaces in list order)."""
+    from fia_own_map_spark.operators.text import PII_PATTERNS
+
+    counts = ",\n                   ".join(
+        f"len(regexp_extract_all(txt, '{pat}')) AS n_{kind}"
+        for kind, pat, _tok in PII_PATTERNS
+    )
+    red = "txt"
+    for _kind, pat, tok in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return f"""
+        WITH p_t AS (
+          SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@mail.example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.7 ph 555-867-530' || CAST(doc_id % 10 AS VARCHAR)
+                 || ' ssn 123-45-678' || CAST(doc_id % 10 AS VARCHAR) AS txt
+          FROM documents)
+        SELECT doc_id,
+               {counts},
+               {red} AS clean_text
+        FROM p_t
+    """
+
+
+# media_probe oracle: every field predicted in closed form from the same
+# doc_id arithmetic the blob writers use — the probe must recover exactly
+# what was encoded (header sizes, ADPCM frames-per-block, fact authority)
+_MEDIA_PROBE_SQL = r"""
+    WITH m AS (SELECT doc_id, doc_id % 5 AS k FROM documents)
+    SELECT doc_id,
+      CASE WHEN k IN (0, 1, 2) THEN 'wav' WHEN k = 3 THEN 'bmp' ELSE 'fake' END AS kind,
+      CASE WHEN k = 3 THEN CAST(4 + doc_id % 4 AS INT)
+           WHEN k = 4 THEN CAST(10 + doc_id % 9 AS INT) END AS width,
+      CASE WHEN k = 3 THEN CAST(3 + doc_id % 3 AS INT)
+           WHEN k = 4 THEN CAST(5 + doc_id % 6 AS INT) END AS height,
+      CASE WHEN k = 0 THEN CAST(8000 * (1 + (doc_id % 10) // 5) AS INT)
+           WHEN k IN (1, 2) THEN 8000 END AS sample_rate,
+      CASE WHEN k = 0 THEN CAST(1 + doc_id % 2 AS INT)
+           WHEN k IN (1, 2) THEN 1 END AS n_channels,
+      CASE WHEN k = 0 THEN round((400 + 2 * (doc_id % 50))
+                / CAST(8000 * (1 + (doc_id % 10) // 5) AS DOUBLE), 6)
+           WHEN k = 1 AND doc_id % 2 = 0
+                THEN round(((1 + doc_id % 3) * 505 - 17) / 8000.0, 6)
+           WHEN k = 1 THEN round((1 + doc_id % 3) * 505 / 8000.0, 6)
+           WHEN k = 2 THEN round((300 + doc_id % 50) / 8000.0, 6) END AS duration_s,
+      CASE WHEN k = 0 THEN '16-bit' WHEN k = 1 THEN '4-bit'
+           WHEN k = 2 THEN '8-bit' END AS detail,
+      CAST(CASE WHEN k = 0 THEN 44 + (400 + 2 * (doc_id % 50)) * (1 + doc_id % 2) * 2
+                WHEN k = 1 THEN 48 + CASE WHEN doc_id % 2 = 0 THEN 12 ELSE 0 END
+                     + (1 + doc_id % 3) * 256
+                WHEN k = 2 THEN 344 + doc_id % 50
+                WHEN k = 3 THEN 54 + (3 + doc_id % 3)
+                     * (((3 * (4 + doc_id % 4) + 3) // 4) * 4)
+                ELSE 9 + length(CAST(5 + doc_id % 6 AS VARCHAR)) + doc_id % 7
+           END AS INT) AS n_bytes
+    FROM m
+"""
+
+
+_GOPHER_SQL = r"""
+    WITH g_t AS (
+      SELECT doc_id,
+        regexp_replace(text, '\. ', '.' || chr(10), 'g')
+        || chr(10) || '- bullet point ' || CAST(doc_id % 3 AS VARCHAR)
+        || chr(10) || '- bullet point ' || CAST(doc_id % 3 AS VARCHAR)
+        || chr(10) || 'the end...' AS txt
+      FROM documents),
+    g_l AS (
+      SELECT doc_id, txt,
+        list_filter(string_split(txt, chr(10)), x -> trim(x) <> '') AS lines,
+        list_filter(string_split_regex(trim(txt), '\s+'), x -> x <> '') AS toks
+      FROM g_t),
+    g_m AS (
+      SELECT doc_id,
+        len(lines) AS n_lines,
+        len(lines) - len(list_distinct(lines)) AS n_dup,
+        coalesce(list_sum(list_transform(range(2, len(lines) + 1),
+            i -> CASE WHEN list_sort(lines)[i] = list_sort(lines)[i - 1]
+                 THEN length(list_sort(lines)[i]) ELSE 0 END)), 0) AS dup_chars,
+        coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS line_chars,
+        len(toks) AS n_words,
+        len(regexp_extract_all(txt, '#|\.\.\.|…')) AS n_symbols,
+        len(list_filter(lines,
+            x -> substr(trim(x), 1, 1) IN ('-', '*', '•', '‣', '▪'))) AS n_bullet,
+        len(list_filter(lines,
+            x -> ends_with(trim(x), '...') OR ends_with(trim(x), '…'))) AS n_ellipsis,
+        len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha
+      FROM g_l)
+    SELECT doc_id,
+      CASE WHEN n_lines > 0 THEN round(n_dup / CAST(n_lines AS DOUBLE), 6)
+           ELSE 0.0 END AS dup_line_frac,
+      CASE WHEN line_chars > 0 THEN round(dup_chars / CAST(line_chars AS DOUBLE), 6)
+           ELSE 0.0 END AS dup_line_char_frac,
+      CASE WHEN n_words > 0 THEN round(n_symbols / CAST(n_words AS DOUBLE), 6)
+           ELSE 0.0 END AS symbol_word_ratio,
+      CASE WHEN n_lines > 0 THEN round(n_bullet / CAST(n_lines AS DOUBLE), 6)
+           ELSE 0.0 END AS bullet_line_frac,
+      CASE WHEN n_lines > 0 THEN round(n_ellipsis / CAST(n_lines AS DOUBLE), 6)
+           ELSE 0.0 END AS ellipsis_line_frac,
+      CASE WHEN n_words > 0 THEN round(n_alpha / CAST(n_words AS DOUBLE), 6)
+           ELSE 0.0 END AS alpha_word_frac
+    FROM g_m
+"""
+
+
+# Shared CTE for the URL oracles: deterministic URL synthesis (same doc_id
+# arithmetic as _doc_url_expr) + feature re-derivation in DuckDB's own
+# string/regexp grammar. Multi-label suffix list mirrors
+# fia_own_map_spark.functions.url._MULTI_SUFFIXES.
+def _url_cte() -> str:
+    from fia_own_map_spark.functions.url import _MULTI_SUFFIXES
+
+    suffixes = ", ".join(f"'{s}'" for s in _MULTI_SUFFIXES)
+    return f"""
+        WITH url_u AS (
+          SELECT doc_id,
+            'https://'
+            || CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.' ELSE '' END
+            || source
+            || CASE doc_id % 4 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+                               WHEN 2 THEN '.net.au' ELSE '.org' END
+            || CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END
+            || CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN '/a'
+                               WHEN 2 THEN '/a/b' ELSE '/a/b/c/' END
+            || CASE WHEN doc_id % 7 = 0 THEN ''
+                    WHEN doc_id % 2 = 0 THEN '?id=' || doc_id || '&utm_source=feed&q=term'
+                    ELSE '?id=' || doc_id END
+            || CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url
+          FROM documents),
+        url_f AS (
+          SELECT doc_id, url,
+            lower(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)) AS host,
+            regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+            regexp_replace(url, '#.*$', '') AS nofrag
+          FROM url_u),
+        url_g AS (
+          SELECT doc_id, url, host,
+            CASE WHEN len(string_split(host, '.')) >= 3
+                      AND string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+                          IN ({suffixes})
+                 THEN string_split(host, '.')[-3] || '.' || string_split(host, '.')[-2]
+                      || '.' || string_split(host, '.')[-1]
+                 WHEN len(string_split(host, '.')) >= 2
+                 THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+                 ELSE host END AS reg_domain,
+            len(list_filter(string_split(path, '/'), x -> x <> '')) AS path_depth,
+            nullif(regexp_extract(url, '[?&]id=([^&#]*)', 1), '') AS id_param,
+            CASE WHEN position('?' IN nofrag) > 0
+                 THEN substr(nofrag, position('?' IN nofrag) + 1) END AS qs,
+            CASE WHEN position('?' IN nofrag) > 0
+                 THEN substr(nofrag, 1, position('?' IN nofrag) - 1)
+                 ELSE nofrag END AS base
+          FROM url_f)
+    """
+
+
+_URL_CTE = _url_cte()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -822,6 +1232,62 @@ def oracle_sql() -> dict[str, str]:
                    ELSE len(list_intersect(sh_a, sh_b))::double
                         / len(list_distinct(list_concat(sh_a, sh_b))) END) >= 0.9
         """,
+        # FNV-1a 64 reproduced in pure SQL (r4 verdict stretch #8): token
+        # bytes via hex(encode(t)) nibble lookup, the xor-multiply fold as a
+        # list_reduce in HUGEINT with an explicit mod-2^64 wrap (64x40-bit
+        # product fits 128 bits), then the Manku pigeonhole bucket join
+        # exactly as dedup.simhash_dup_pairs builds it (widths [8,7x8],
+        # bucket cap 1000, true 64-bit Hamming verify). Converts the last
+        # dedup-family query from rows-only to value-checked.
+        "dedup_simhash_pairs": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                        x -> x <> '')) AS t
+              FROM documents WHERE text IS NOT NULL),
+            toku AS (SELECT DISTINCT t FROM tok),
+            thu AS (
+              SELECT t, CAST(list_reduce(
+                list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                  list_transform(range(1, octet_length(encode(t)) + 1),
+                    i -> CAST(16 * (strpos('0123456789ABCDEF', substr(hex(encode(t)), 2*i-1, 1)) - 1)
+                            + (strpos('0123456789ABCDEF', substr(hex(encode(t)), 2*i, 1)) - 1) AS HUGEINT))),
+                (acc, b) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+                             * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+              ) AS UBIGINT) AS h FROM toku),
+            th AS (SELECT tok.doc_id, thu.h FROM tok JOIN thu USING (t)),
+            ntok AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            bitcnt AS (
+              SELECT doc_id, b, sum(CAST((h >> CAST(b AS UBIGINT)) & 1 AS BIGINT)) AS cnt
+              FROM th, range(64) r(b) GROUP BY doc_id, b),
+            fp0 AS (
+              SELECT bitcnt.doc_id,
+                CAST(sum(CASE WHEN 2*cnt > n THEN
+                  CASE WHEN b = 63 THEN CAST('-9223372036854775808' AS BIGINT)
+                       ELSE (CAST(1 AS BIGINT) << b) END ELSE 0 END) AS BIGINT) AS sh
+              FROM bitcnt JOIN ntok USING (doc_id) GROUP BY bitcnt.doc_id),
+            fp AS (
+              SELECT d.doc_id,
+                CAST(CAST(COALESCE(f.sh, 0) AS HUGEINT)
+                  + CASE WHEN COALESCE(f.sh, 0) < 0
+                         THEN CAST('18446744073709551616' AS HUGEINT)
+                         ELSE 0 END AS UBIGINT) AS shu
+              FROM documents d LEFT JOIN fp0 f USING (doc_id)
+              WHERE d.text IS NOT NULL),
+            buck AS (
+              SELECT doc_id, shu,
+                CAST(i AS VARCHAR) || ':'
+                  || CAST(((shu >> CAST(off AS UBIGINT)) & CAST(mask AS UBIGINT)) AS VARCHAR) AS bucket
+              FROM fp, (VALUES (0,0,255),(1,8,127),(2,15,127),(3,22,127),(4,29,127),
+                               (5,36,127),(6,43,127),(7,50,127),(8,57,127)) v(i, off, mask)),
+            capped AS (SELECT * FROM buck
+                       QUALIFY count(*) OVER (PARTITION BY bucket) <= 1000),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.shu, b.shu)) AS INT) AS hamming
+              FROM capped a JOIN capped b USING (bucket) WHERE a.doc_id < b.doc_id)
+            SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 8
+        """,
         "dedup_ngram_jaccard": """
             WITH t AS (
               SELECT doc_id, source,
@@ -886,6 +1352,35 @@ def oracle_sql() -> dict[str, str]:
                        AS fingerprint
             FROM m
         """,
+        # Gopher-style repetition/shape gates + PII scrub: text rebuilt with
+        # identical doc_id arithmetic, features re-derived with DuckDB list
+        # ops / RE2 regexps
+        "text_gopher": _GOPHER_SQL,
+        "text_pii_scrub": _pii_sql(),
+        "media_probe_mixed": _MEDIA_PROBE_SQL,
+        # URL feature block: the synthetic URL is rebuilt with identical
+        # doc_id arithmetic, then every feature is re-derived with DuckDB's
+        # independent string/regexp grammar (host/path regexes, PSL-subset
+        # eTLD+1, utm_ strip) — a true cross-engine check of F.parse_url
+        "url_features": _URL_CTE + r"""
+            SELECT doc_id, url, host, reg_domain, path_depth, id_param,
+                   CASE WHEN qs IS NOT NULL
+                             AND len(list_filter(string_split(qs, '&'),
+                                                 x -> NOT starts_with(x, 'utm_'))) > 0
+                        THEN base || '?' || array_to_string(
+                               list_filter(string_split(qs, '&'),
+                                           x -> NOT starts_with(x, 'utm_')), '&')
+                        ELSE base END AS clean_url
+            FROM url_g
+        """,
+        "url_domain_rollup": _URL_CTE + r"""
+            SELECT reg_domain,
+                   count(*) AS n_docs,
+                   count(DISTINCT host) AS n_hosts,
+                   round(avg(path_depth), 6) AS avg_depth,
+                   min(doc_id) AS min_doc
+            FROM url_g GROUP BY reg_domain
+        """,
         "ml_cascade_lang": _cascade_sql(),
         "text_lang_id": _lang_id_sql(),
         "text_quality": _quality_sql(),
@@ -897,6 +1392,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # double-cast for the same float64-fold parity as dedup_embedding_cosine
+        # sign-LSH ANN: planes are seeded literals, folds mirror Spark's
+        # sequential F.aggregate exactly (see _lsh_oracle_sql) — value-checked
+        # as of r5 (was rows-only)
+        "ann_lsh_topk": _lsh_oracle_sql(n_planes=6, n_tables=1),
+        "ann_lsh_multi_topk": _lsh_oracle_sql(n_planes=8, n_tables=7),
         "ann_cosine_topk": """
             WITH ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                         FROM embeddings),

@@ -166,3 +166,89 @@ def doc_fingerprint_md5(text_col: Column | str) -> Column:
     cross-engine-checkable form; the array<long> FNV variant stays the
     internal API)."""
     return _winnow_md5_udf(F.col(text_col) if isinstance(text_col, str) else text_col)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / shape filters (Rae et al. 2021 §A1.1) — the
+# standard pre-training quality gates, all native exprs: one projection,
+# no shuffle, no UDF, fully DuckDB-oracle-checkable.
+# ---------------------------------------------------------------------------
+def gopher_repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """df + duplicate-line / symbol / bullet / ellipsis / alpha-word
+    fractions (6dp), NULL-text rows pass through with NULL features.
+
+    The duplicate-line char fraction uses a sort + adjacent-equal walk
+    (array_sort, zip_with of the array against its own shift) instead of a
+    per-line O(L^2) membership scan — per-row cost L log L, independent of
+    corpus size, so the operator is a pure map at 100 TB."""
+    c = F.col(text_col)
+    lines = F.filter(F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    n_dup = n_lines - F.size(F.array_distinct(lines))
+    srt = F.array_sort(lines)
+    shift_len = F.greatest(n_lines - 1, F.lit(0))
+    dup_chars = F.aggregate(
+        F.zip_with(
+            F.slice(srt, 2, shift_len),
+            F.slice(srt, 1, shift_len),
+            lambda a, b: F.when(a == b, F.length(a)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    line_chars = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
+    toks = F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+    n_words = F.size(toks)
+    n_symbols = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), 0))
+    trimmed = F.transform(lines, F.trim)
+    n_bullet = F.size(
+        F.filter(trimmed, lambda x: F.substring(x, 1, 1).isin("-", "*", "•", "‣", "▪"))
+    )
+    n_ellipsis = F.size(
+        F.filter(trimmed, lambda x: x.endswith("...") | x.endswith("…"))
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+
+    def frac(num, den):
+        return F.when(den > 0, F.round(num / den.cast("double"), 6)).otherwise(F.lit(0.0))
+
+    return (
+        df.withColumn("dup_line_frac", frac(n_dup, n_lines))
+        .withColumn("dup_line_char_frac", frac(dup_chars, line_chars))
+        .withColumn("symbol_word_ratio", frac(n_symbols, n_words))
+        .withColumn("bullet_line_frac", frac(n_bullet, n_lines))
+        .withColumn("ellipsis_line_frac", frac(n_ellipsis, n_lines))
+        .withColumn("alpha_word_frac", frac(n_alpha, n_words))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub — regex redaction + per-kind counts, native regexp exprs.
+# Patterns stay inside the RE2-compatible subset (no lookarounds, no
+# backrefs) so Spark's java.util.regex and DuckDB's RE2 agree token for
+# token — the oracle IS the cross-engine conformance test.
+# ---------------------------------------------------------------------------
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", out_col: str = "clean_text") -> DataFrame:
+    """df + per-kind match counts (on the ORIGINAL text) + redacted text.
+
+    Replacement order = PII_PATTERNS order (email before phone/ip so an
+    address's digits can't be re-matched once its host is replaced;
+    SSN before phone so 3-2-4 never half-matches 3-3-4)."""
+    c = F.col(text_col)
+    out = df
+    for kind, pat, _tok in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        )
+    red = c
+    for _kind, pat, tok in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tok)  # tokens contain no $ or \ metachars
+    return out.withColumn(out_col, red)
