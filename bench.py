@@ -584,26 +584,45 @@ def phase_b(
             env = {"SPARK_GRAFT_KERNEL_REPLICATE": str(KERNEL_REP[pair])}
             kruns[(pair, c)].append(_pinned_run("kernel", c, pairs_path, env=env))
 
-    # interleave all legs so host-load drift hits each equally; the first
-    # `repeats` rounds are UNCONDITIONAL (the criterion needs >=3 repeats
-    # per level); the budget only gates extra rounds
-    for _ in range(max(repeats, 3)):
-        one_round()
+    # Writeback hygiene: each ER leg writes GBs of checkpoints that the
+    # kernel flushes asynchronously after the subprocess exits; sync()
+    # between legs so no leg's timed stages compete with the previous
+    # leg's page flush.
+    def _settle() -> None:
+        import subprocess
+
+        subprocess.run(["sync"], check=False)
+        time.sleep(2)
+
+    # The big e2e pair (8x corpus) runs FIRST: ALWAYS >=2 interleaved reps
+    # per level — this is the headline e2e proof. Running it at the END
+    # meant ~40 minutes of sustained all-core kernel load preceded it, and
+    # both r4 and r5 measured stage-0 walls 1.5-7x above the same leg run
+    # standalone (host thermal/cgroup throttle under sustained load);
+    # standalone reproductions never showed the inflation. The kernel
+    # rounds are robust to ordering: best-of-many with budget-gated extra
+    # rounds, graded against a host-ceiling calibration that runs ADJACENT
+    # to them (same thermal state).
+    er_corpus_big = _bench_corpus_path(ER_PAGES_BIG)
+    lo_big, hi_big = [], []
+    for rep in range(2):
+        _settle()
+        lo_big.append(_pinned_run("er", 8, er_corpus_big))
+        _settle()
+        hi_big.append(_pinned_run("er", 32, er_corpus_big))
     # ER context runs: best-of-2 interleaved (single runs are at the mercy
     # of multi-minute host-throttle windows, see kernel history)
     lo_runs, hi_runs = [], []
     for _ in range(2):
+        _settle()
         lo_runs.append(_pinned_run("er", 8, er_corpus))
+        _settle()
         hi_runs.append(_pinned_run("er", 32, er_corpus))
-    # the big e2e pair (8x corpus): ALWAYS >=2 interleaved reps per level —
-    # this is the headline e2e proof, and the host throttles in multi-minute
-    # windows, so a single rep is a sample, not a number (r4 verdict item
-    # #3; the budget gates the cheap extra kernel rounds instead)
-    er_corpus_big = _bench_corpus_path(ER_PAGES_BIG)
-    lo_big, hi_big = [], []
-    for rep in range(2):
-        lo_big.append(_pinned_run("er", 8, er_corpus_big))
-        hi_big.append(_pinned_run("er", 32, er_corpus_big))
+    # interleave all kernel legs so host-load drift hits each equally; the
+    # first `repeats` rounds are UNCONDITIONAL (the criterion needs >=3
+    # repeats per level); the budget only gates extra rounds
+    for _ in range(max(repeats, 3)):
+        one_round()
     while time.time() - t_start <= budget_s * 0.6:
         one_round()
     calib = cpu_calibration(KERNEL_LEVELS)

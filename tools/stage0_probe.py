@@ -108,8 +108,6 @@ def main() -> None:
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".bench_cache", f"stage0_probe_{cores}",
         )
-        shutil.rmtree(root, ignore_errors=True)
-        store = CheckpointStore(root, "probe")
         records = stage0_records(pages)
         sel = records.select(
             "url", "warc_ts", "lang", "owner1", "owner2", "simple_owners",
@@ -118,8 +116,14 @@ def main() -> None:
         )
         writers = os.environ.get("KP_WRITERS")
         if writers:
-            sel = sel.coalesce(int(writers))
-        timed("stage0_write", lambda: store.write("records", sel))
+            sel = sel.repartition(int(writers))
+
+        def _write_once():
+            # fresh store per rep — a committed checkpoint makes write a no-op
+            shutil.rmtree(root, ignore_errors=True)
+            CheckpointStore(root, "probe").write("records", sel)
+
+        timed("stage0_write", _write_once)
     # executor GC time accumulated over the run (driver == executor in local)
     try:
         import py4j  # noqa: F401
