@@ -37,6 +37,7 @@ from fia_own_map_spark.operators.blocking import star_edges
 from fia_own_map_spark.operators.cc import connected_components
 from fia_own_map_spark.operators.classify import initial_class
 from fia_own_map_spark.operators.refine import cluster_size
+from fia_own_map_spark.testing import xxh64_sql as _xxh64_sql
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -224,8 +225,10 @@ def q_dedup_minhash_pairs(spark, sf):
 
 def q_dedup_minhash_fast(spark, sf):
     """xxhash64 hash family — the production/bench path (typed JVM hashing,
-    no per-shingle string materialization); rows-only by design (no xxhash64
-    in DuckDB), same banding/verification plan as the md5 variant."""
+    no per-shingle string materialization). Value-checked since r5: the
+    oracle reproduces XXH64 itself in DuckDB HUGEINT SQL (generated by
+    fia_own_map_spark/testing/xxh64_sql.py, validated against a python
+    mirror AND Spark in tests/test_xxh64_oracle.py)."""
     return dedup.minhash_lsh_pairs(
         _t(spark, sf, "documents"), n_hashes=8, n_bands=4, shingle_k=1,
         jaccard_threshold=0.9, hash_family="xxhash64",
@@ -804,7 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
-        "dedup_minhash_fast": q_dedup_minhash_fast,      # rows-only (xxhash64 family)
+        "dedup_minhash_fast": q_dedup_minhash_fast,      # XXH64-in-SQL oracle (r5)
         "dedup_simhash_pairs": q_dedup_simhash_pairs,    # FNV-in-SQL oracle (r5)
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1304,6 +1307,14 @@ def oracle_sql() -> dict[str, str]:
               AND len(list_intersect(a.grams, b.grams))::double
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.35
         """,
+        # XXH64 itself reproduced in DuckDB HUGEINT SQL (r5): split-multiply
+        # mod 2^64, list_reduce folds for the 32-byte 4-lane blocks and
+        # 8-byte words, subselect-chained unrolls for the fixed steps.
+        # Generated by testing/xxh64_sql.py; validated vs a python mirror
+        # and vs Spark in tests/test_xxh64_oracle.py.
+        "dedup_minhash_fast": _xxh64_sql.minhash_fast_oracle_sql(
+            n_hashes=8, n_bands=4, jaccard_threshold=0.9
+        ),
         # NB: embeddings are FLOAT[]; DuckDB's list_dot_product would fold in
         # float32 while Spark casts elements to double first — cast to
         # DOUBLE[] so both engines do the identical sequential float64 fold.
