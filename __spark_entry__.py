@@ -490,6 +490,19 @@ def q_ann_ivf_topk(spark, sf):
     return ann.ivf_cosine_topk(emb, queries, k=10, n_cells=32, nprobe=6)
 
 
+def q_ann_ivf_seeded_topk(spark, sf):
+    """IVF with a deterministic sampled quantizer (id-ordered corpus
+    vectors as centroids) — value-checked sibling of `ann_ivf_topk`: the
+    assignment / nprobe probing / exact re-rank machinery is the same code
+    path, with the KMeans fit (the one non-SQL-expressible step) swapped
+    for a reproducible quantizer, so the driver hash-verifies it."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ann.ivf_seeded_cosine_topk(emb, queries, k=10, n_cells=32, nprobe=6)
+
+
 def q_ann_lsh_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -829,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,                  # seeded-plane SQL oracle (r5)
         "ann_lsh_multi_topk": q_ann_lsh_multi_topk,      # seeded-plane SQL oracle (r5)
         "ann_ivf_topk": q_ann_ivf_topk,                  # rows-only (KMeans quantizer)
+        "ann_ivf_seeded_topk": q_ann_ivf_seeded_topk,    # seeded-quantizer SQL oracle (r5)
         # relational operator parity
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "join_customer_nation_revenue": q_join_customer_nation_revenue,
@@ -914,6 +928,59 @@ def _lsh_oracle_sql(n_planes: int, n_tables: int, dim: int = 64, k: int = 10) ->
                        / (sqrt({foldsq('e.embedding')}) * sqrt({foldsq('q.qv')})) END, 6) AS score
           FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
                     JOIN q ON q.query_id = cand.query_id)
+        SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank FROM (
+          SELECT query_id, vec_id, score,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+          FROM scored) WHERE rank <= {k}
+    """
+
+
+def _ivf_seeded_oracle_sql(
+    n_cells: int = 32, nprobe: int = 6, dim: int = 64, k: int = 10
+) -> str:
+    """DuckDB oracle for `ann_ivf_seeded_topk` — the value-checked sibling
+    of the KMeans IVF query (ann.ivf_seeded_cosine_topk).
+
+    Centroids are the n_cells id-smallest corpus vectors, recomputed from
+    the same parquet rather than inlined (both engines read identical
+    bytes). Parity traps mirrored from _lsh_oracle_sql: every fold is
+    Spark's SEQUENTIAL left fold (list_reduce with 0.0 prepended), and the
+    L2 ranking uses UNROUNDED doubles with (distance, cell) tie order —
+    exactly `_probe_cells`' array_sort on struct(d, cell)."""
+    l2 = lambda cv, v: (  # noqa: E731 — (a - b)^2 sequential fold
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
+        f"i -> ({cv}[i] - {v}[i]::DOUBLE) * ({cv}[i] - {v}[i]::DOUBLE))), (a, b) -> a + b)"
+    )
+    fold = lambda v, p: (  # noqa: E731
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
+        f"i -> {v}[i]::DOUBLE * {p}[i]::DOUBLE)), (a, b) -> a + b)"
+    )
+    foldsq = lambda v: fold(v, v)  # noqa: E731
+    return f"""
+        WITH cent AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                 list_transform(embedding, x -> x::DOUBLE) AS cvec
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_cells})),
+        asn AS (
+          SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {l2('c.cvec', 'e.embedding')}, c.cell) AS rn
+            FROM embeddings e, cent c) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        probe AS (
+          SELECT query_id, cell FROM (
+            SELECT q.query_id, c.cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {l2('c.cvec', 'q.qv')}, c.cell) AS rn
+            FROM q, cent c) WHERE rn <= {nprobe}),
+        scored AS (
+          SELECT p.query_id, a.vec_id,
+            round(CASE WHEN sqrt({foldsq('a.embedding')}) * sqrt({foldsq('q.qv')}) = 0 THEN 0.0
+                  ELSE {fold('a.embedding', 'q.qv')}
+                       / (sqrt({foldsq('a.embedding')}) * sqrt({foldsq('q.qv')})) END, 6) AS score
+          FROM probe p JOIN asn a USING (cell)
+                       JOIN q ON q.query_id = p.query_id)
         SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank FROM (
           SELECT query_id, vec_id, score,
                  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
@@ -1408,6 +1475,9 @@ def oracle_sql() -> dict[str, str]:
         # as of r5 (was rows-only)
         "ann_lsh_topk": _lsh_oracle_sql(n_planes=6, n_tables=1),
         "ann_lsh_multi_topk": _lsh_oracle_sql(n_planes=8, n_tables=7),
+        # IVF with a deterministic sampled quantizer — value-checked sibling
+        # of ann_ivf_topk (same assignment/probe/re-rank code path)
+        "ann_ivf_seeded_topk": _ivf_seeded_oracle_sql(n_cells=32, nprobe=6),
         "ann_cosine_topk": """
             WITH ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                         FROM embeddings),

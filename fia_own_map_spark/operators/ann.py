@@ -253,6 +253,58 @@ def ivf_cosine_topk(
     return _global_topk(scored, k, query_id_col, id_col)
 
 
+def seeded_centroids(
+    corpus: DataFrame,
+    n_cells: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic quantizer centroids: the first ``n_cells`` corpus
+    vectors in id order (no training step). One bounded limit-collect."""
+    rows = corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    return [[float(x) for x in r[0]] for r in rows if r[0] is not None]
+
+
+def ivf_seeded_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 32,
+    nprobe: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF top-k with a deterministic sampled quantizer — the value-checked
+    sibling of `ivf_cosine_topk` (same pattern as the md5-vs-xxhash64
+    MinHash pair): centroids are id-ordered corpus vectors instead of
+    KMeans means, so the WHOLE query — assignment (argmin L2, ties by
+    cell), nprobe cell ranking, exact cosine re-rank, global top-k — is
+    reproducible in DuckDB SQL. The probing/assignment/re-rank machinery
+    is byte-identical to the production KMeans variant (same
+    `_probe_cells` / `_global_topk`); only the quantizer fit differs.
+    Corpus assignment is `_probe_cells` with nprobe=1 (centroid literals
+    broadcast in the plan, corpus never shuffled); at production scale the
+    assignment is written once as a partitioned table, as with
+    `ivf_index`."""
+    if centroids is None:
+        centroids = seeded_centroids(corpus, n_cells, id_col, vec_col)
+    assigned = _probe_cells(corpus.select(id_col, vec_col), centroids, 1, vec_col)
+    q = _probe_cells(
+        queries.select(query_id_col, F.col(vec_col).alias("_qvec")),
+        centroids,
+        nprobe,
+        "_qvec",
+    )
+    scored = assigned.join(F.broadcast(q), "_cell").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("score"),
+    )
+    return _global_topk(scored, k, query_id_col, id_col)
+
+
 def _probe_buckets(bucket: Column, n_planes: int, radius: int) -> Column:
     """array<string> of probe buckets: the query's own sign bucket plus
     every bucket within ``radius`` bit flips (standard multi-probe LSH —
