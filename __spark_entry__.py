@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from fia_own_map_spark.config import EngineConfig
 from fia_own_map_spark.functions.combos import exploded_metaphone_keys, normalized_name_keys
 from fia_own_map_spark.functions.similarity import similarity_scores
-from fia_own_map_spark.operators import ann, dedup, text
+from fia_own_map_spark.operators import ann, dedup, sketch, text
 from fia_own_map_spark.operators.blocking import star_edges
 from fia_own_map_spark.operators.cc import connected_components
 from fia_own_map_spark.operators.classify import initial_class
@@ -503,6 +503,37 @@ def q_ann_ivf_seeded_topk(spark, sf):
     return ann.ivf_seeded_cosine_topk(emb, queries, k=10, n_cells=32, nprobe=6)
 
 
+def q_sketch_hll_custkeys(spark, sf):
+    """HyperLogLog approximate distinct customers per order priority,
+    next to the exact count it replaces at scale. p=8 (m=256, ~6.5% std
+    err); every group's raw estimate exceeds 2.5m at sf>=0.01 so the
+    estimator stays in the harmonic branch, which the oracle reproduces
+    bit-exactly (integer-scaled denominator, xxh64 hashLong in SQL). The
+    exact column is the small-scale demo foil — at 100 TB you persist the
+    register table (`hll_registers`) and never run the exact distinct."""
+    o = _t(spark, sf, "orders")
+    est = sketch.approx_distinct(
+        o, ["o_orderpriority"], "o_custkey", p=8, out_col="est_custkeys"
+    )
+    exact = o.filter(F.col("o_custkey").isNotNull()).groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_custkeys")
+    )
+    return (
+        est.join(exact, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "est_custkeys",
+            "exact_custkeys",
+            F.round(
+                F.abs(F.col("est_custkeys") - F.col("exact_custkeys"))
+                / F.col("exact_custkeys"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_ann_lsh_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -843,6 +874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multi_topk": q_ann_lsh_multi_topk,      # seeded-plane SQL oracle (r5)
         "ann_ivf_topk": q_ann_ivf_topk,                  # rows-only (KMeans quantizer)
         "ann_ivf_seeded_topk": q_ann_ivf_seeded_topk,    # seeded-quantizer SQL oracle (r5)
+        # sketches
+        "sketch_hll_custkeys": q_sketch_hll_custkeys,    # full-HLL SQL oracle (r5)
         # relational operator parity
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "join_customer_nation_revenue": q_join_customer_nation_revenue,
@@ -985,6 +1018,66 @@ def _ivf_seeded_oracle_sql(
           SELECT query_id, vec_id, score,
                  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
           FROM scored) WHERE rank <= {k}
+    """
+
+
+def _hll_oracle_sql(p: int = 8) -> str:
+    """DuckDB oracle for `sketch_hll_custkeys` — full HLL rebuild in SQL.
+
+    xxhash64(o_custkey) via `xxh64_sql.hash_long_steps` (the seed-42
+    hashLong specialization Spark uses for LongType), bucket/rank by
+    integer division and `length(bin(w))`, registers by GROUP BY max, and
+    the operator's exact integer-scaled denominator
+    (`zeros * 2**R + sum(2**(R - maxrank))` in HUGEINT) so no step depends
+    on float summation order. The alpha * m^2 * 2**R constant is emitted
+    with repr() — shortest-round-trip decimal, parsed back to the
+    identical double by both engines."""
+    x = _xxh64_sql
+    m = 1 << p
+    nbits = 64 - p
+    big_r = nbits + 1
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    numer = repr(alpha * float(m) * float(m) * (2.0 ** big_r))
+    hashed = x.chain(
+        "SELECT o_orderpriority, "
+        + x.UNSIGNED.format(s="o_custkey")
+        + " AS xu FROM (SELECT DISTINCT o_orderpriority, o_custkey "
+        "FROM orders WHERE o_custkey IS NOT NULL)",
+        x.hash_long_steps("xu", "42", "h"),
+        "o_orderpriority, hf5 AS H",
+    )
+    return f"""
+        WITH hashed AS ({hashed}),
+        regs AS (
+          SELECT o_orderpriority, CAST(H // {1 << nbits} AS BIGINT) AS bucket,
+                 max(CASE WHEN H % {1 << nbits} = 0 THEN {big_r}
+                     ELSE {big_r} - length(bin(CAST(H % {1 << nbits} AS BIGINT)))
+                     END) AS maxrank
+          FROM hashed GROUP BY 1, 2),
+        agg AS (
+          SELECT o_orderpriority,
+                 sum(CAST(power(2.0, {big_r} - maxrank) AS HUGEINT)) AS terms,
+                 count(*) AS filled
+          FROM regs GROUP BY 1),
+        est AS (
+          SELECT o_orderpriority, {m} - filled AS zeros,
+                 {numer} / CAST(({m} - filled) * CAST('{1 << big_r}' AS HUGEINT)
+                                + terms AS DOUBLE) AS raw
+          FROM agg),
+        hll AS (
+          SELECT o_orderpriority,
+                 CAST(round(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                       THEN {m} * ln({m} / CAST(zeros AS DOUBLE)) ELSE raw END, 0)
+                      AS BIGINT) AS est_custkeys
+          FROM est),
+        exact AS (
+          SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_custkeys
+          FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1)
+        SELECT o_orderpriority, est_custkeys, exact_custkeys,
+               round(abs(est_custkeys - exact_custkeys)::DOUBLE / exact_custkeys, 6)
+                 AS rel_err
+        FROM hll JOIN exact USING (o_orderpriority)
+        ORDER BY o_orderpriority
     """
 
 
@@ -1478,6 +1571,8 @@ def oracle_sql() -> dict[str, str]:
         # IVF with a deterministic sampled quantizer — value-checked sibling
         # of ann_ivf_topk (same assignment/probe/re-rank code path)
         "ann_ivf_seeded_topk": _ivf_seeded_oracle_sql(n_cells=32, nprobe=6),
+        # HyperLogLog rebuilt end-to-end in SQL (registers + estimator)
+        "sketch_hll_custkeys": _hll_oracle_sql(p=8),
         "ann_cosine_topk": """
             WITH ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                         FROM embeddings),
