@@ -534,6 +534,70 @@ def q_sketch_hll_custkeys(spark, sf):
     )
 
 
+def q_sketch_cms_topcust(spark, sf):
+    """Count-Min frequency estimates for the top-20 customers by order
+    count, next to the exact counts. d=4, w=4096: the sketch state is at
+    most 16384 slim rows however many orders exist — the scale story is
+    that the exact per-key groupBy (here the demo foil) shuffles every raw
+    key at 100 TB while the CMS shuffles a fixed grid. `overcount` is
+    >= 0 by construction (CMS never under-counts); the DuckDB oracle
+    rebuilds the double-hashed grid bit-exactly."""
+    o = _t(spark, sf, "orders")
+    depth, width = 4, 4096
+    state = sketch.cms_sketch(o, "o_custkey", depth=depth, width=width)
+    exact = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    top = exact.orderBy(F.col("exact_count").desc(), "o_custkey").limit(20)
+    est = sketch.cms_estimate(
+        state, top.select("o_custkey"), "o_custkey", depth, width
+    )
+    return (
+        top.join(est, "o_custkey")
+        .select(
+            "o_custkey",
+            "exact_count",
+            "est_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def q_sketch_bloom_members(spark, sf):
+    """Bloom-filter membership screen: build the filter over AUTOMOBILE-
+    segment customer keys (m=2048 bits, k=7 — sized small so false
+    positives actually occur at sf0.01), probe EVERY customer, and report
+    the confusion counts. n_false_neg must be 0 (Bloom never
+    false-negatives — the oracle proves it, not just a unit test); the
+    false-positive count is deterministic because the bit positions are
+    xxhash64 double-hashing, rebuilt bit-exactly in DuckDB SQL."""
+    c = _t(spark, sf, "customer")
+    k, m = 7, 2048
+    members = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("k")
+    )
+    bloom = sketch.bloom_build(members, "k", n_hashes=k, n_bits=m)
+    probes = c.select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_mktsegment") == "AUTOMOBILE").alias("is_member"),
+    )
+    flagged = sketch.bloom_contains(bloom, probes, "k", k, m)
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.col("is_member").cast("long")).alias("n_members"),
+        F.sum(F.col("maybe_present").cast("long")).alias("n_flagged"),
+        F.sum(
+            (F.col("maybe_present") & ~F.col("is_member")).cast("long")
+        ).alias("n_false_pos"),
+        F.sum(
+            (F.col("is_member") & ~F.col("maybe_present")).cast("long")
+        ).alias("n_false_neg"),
+    )
+
+
 def q_ann_lsh_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -876,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_seeded_topk": q_ann_ivf_seeded_topk,    # seeded-quantizer SQL oracle (r5)
         # sketches
         "sketch_hll_custkeys": q_sketch_hll_custkeys,    # full-HLL SQL oracle (r5)
+        "sketch_cms_topcust": q_sketch_cms_topcust,      # full-CMS SQL oracle (r5)
+        "sketch_bloom_members": q_sketch_bloom_members,  # full-Bloom SQL oracle (r5)
         # relational operator parity
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "join_customer_nation_revenue": q_join_customer_nation_revenue,
@@ -1078,6 +1144,100 @@ def _hll_oracle_sql(p: int = 8) -> str:
                  AS rel_err
         FROM hll JOIN exact USING (o_orderpriority)
         ORDER BY o_orderpriority
+    """
+
+
+def _double_hash_sql(distinct_keys_from: str) -> str:
+    """SELECT k, H1, H2 for a relation of distinct non-null BIGINT keys —
+    the sketch operators' double-hash base values (H1 = hashLong(k, 42),
+    H2 = hashLong(k, H1), i.e. Spark's xxhash64(k) and xxhash64(k, k))
+    as unsigned HUGEINTs, via the chained `xxh64_sql` step emitters."""
+    x = _xxh64_sql
+    return x.chain(
+        f"SELECT k, {x.UNSIGNED.format(s='k')} AS xu FROM ({distinct_keys_from})",
+        x.hash_long_steps("xu", "42", "h") + x.hash_long_steps("xu", "hf5", "g"),
+        "k, hf5 AS H1, gf5 AS H2",
+    )
+
+
+def _km_slot_sql(width: int) -> str:
+    """Kirsch–Mitzenmacher slot for hash row ``r.i``: mirrors
+    `sketch._slot` exactly. width is a power of two, so ``H % width`` on
+    the unsigned HUGEINT equals Spark's signed ``bitwiseAND(width-1)``
+    (two's complement low bits); the ``| 1`` forces the stride odd on
+    both engines."""
+    return (
+        f"(CAST(H1 % {width} AS BIGINT)"
+        f" + r.i * (CAST(H2 % {width} AS BIGINT) | 1)) % {width}"
+    )
+
+
+def _cms_oracle_sql(depth: int = 4, width: int = 4096) -> str:
+    """DuckDB oracle for `sketch_cms_topcust` — full Count-Min rebuild:
+    double-hash slots per distinct key, the d x w grid by GROUP BY sum,
+    min-over-rows estimates for the deterministic top-20. Pure integer
+    arithmetic end to end — no float anywhere to diverge."""
+    return f"""
+        WITH keycnt AS (
+          SELECT o_custkey AS k, count(*) AS cnt
+          FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        hashed AS ({_double_hash_sql("SELECT k FROM keycnt")}),
+        slots AS (
+          SELECT k, r.i AS row, {_km_slot_sql(width)} AS col
+          FROM hashed, range(0, {depth}) r(i)),
+        state AS (
+          SELECT row, col, sum(cnt) AS cellcount
+          FROM slots JOIN keycnt USING (k) GROUP BY 1, 2),
+        top AS (
+          SELECT k, cnt AS exact_count FROM keycnt
+          ORDER BY cnt DESC, k LIMIT 20),
+        est AS (
+          SELECT s.k, min(COALESCE(st.cellcount, 0)) AS est_count
+          FROM slots s JOIN top USING (k)
+          LEFT JOIN state st ON s.row = st.row AND s.col = st.col
+          GROUP BY 1)
+        SELECT top.k AS o_custkey,
+               CAST(exact_count AS BIGINT) AS exact_count,
+               CAST(est_count AS BIGINT) AS est_count,
+               CAST(est_count - exact_count AS BIGINT) AS overcount
+        FROM top JOIN est ON top.k = est.k
+        ORDER BY o_custkey
+    """
+
+
+def _bloom_oracle_sql(n_hashes: int = 7, n_bits: int = 2048) -> str:
+    """DuckDB oracle for `sketch_bloom_members` — full Bloom rebuild:
+    member bit-set by distinct double-hash slots, per-probe flag = all k
+    slots present (slot multiplicity preserved, matching the Spark
+    explode+join+count), then the one-row confusion summary. n_false_neg
+    = 0 is PROVEN by the value match, not just asserted."""
+    return f"""
+        WITH probes AS (
+          SELECT c_custkey AS k, c_mktsegment = 'AUTOMOBILE' AS is_member
+          FROM customer),
+        hashed AS ({_double_hash_sql("SELECT DISTINCT k FROM probes")}),
+        slots AS (
+          SELECT k, {_km_slot_sql(n_bits)} AS bit
+          FROM hashed, range(0, {n_hashes}) r(i)),
+        bits AS (
+          SELECT DISTINCT bit FROM slots
+          JOIN (SELECT k FROM probes WHERE is_member) mem USING (k)),
+        hitc AS (
+          SELECT s.k, count(b.bit) AS nhit
+          FROM slots s LEFT JOIN bits b USING (bit) GROUP BY 1),
+        conf AS (
+          SELECT p.is_member, (nhit = {n_hashes}) AS flagged
+          FROM probes p JOIN hitc ON p.k = hitc.k)
+        SELECT CAST(count(*) AS BIGINT) AS n_probes,
+               CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_members,
+               CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_flagged,
+               CAST(sum(CASE WHEN flagged AND NOT is_member THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_pos,
+               CAST(sum(CASE WHEN is_member AND NOT flagged THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_neg
+        FROM conf
     """
 
 
@@ -1573,6 +1733,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_seeded_topk": _ivf_seeded_oracle_sql(n_cells=32, nprobe=6),
         # HyperLogLog rebuilt end-to-end in SQL (registers + estimator)
         "sketch_hll_custkeys": _hll_oracle_sql(p=8),
+        # Count-Min grid and Bloom bit-set rebuilt in pure-integer SQL
+        "sketch_cms_topcust": _cms_oracle_sql(depth=4, width=4096),
+        "sketch_bloom_members": _bloom_oracle_sql(n_hashes=7, n_bits=2048),
         "ann_cosine_topk": """
             WITH ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                         FROM embeddings),

@@ -1,4 +1,5 @@
-"""Distributed cardinality sketches — HyperLogLog over ``xxhash64``.
+"""Distributed sketches over ``xxhash64``: HyperLogLog cardinality,
+Count-Min frequency, Bloom membership.
 
 At 100 TB, ``COUNT(DISTINCT)`` is the classic scale-killer: exact distinct
 forces a full shuffle of every raw value. The standard fix is a mergeable
@@ -170,6 +171,218 @@ def approx_distinct(
     return hll_estimate(
         hll_registers(df, group_cols, value_col, p), group_cols, p, out_col
     )
+
+
+def _double_hash_cols(value_col: str) -> tuple[Column, Column]:
+    """(h1, h2) base hashes for Kirsch–Mitzenmacher double hashing.
+
+    h1 = xxhash64(v) (seed 42); h2 = xxhash64(v, v) — Spark's multi-arg
+    xxhash64 chains child hashes as seeds, so h2 = hashLong(v, hashLong(v,
+    42)) for a long column: one extra mix, no new hash family, and both
+    values are rebuildable in DuckDB SQL via `testing/xxh64_sql`
+    (`hash_long_steps` chained). Derived slot r is (h1 + r*h2) mod width —
+    the standard way (Kirsch & Mitzenmacher 2006) to get d independent-
+    enough hash functions for Bloom/Count-Min from two base hashes.
+    """
+    v = F.col(value_col)
+    return F.xxhash64(v), F.xxhash64(v, v)
+
+
+def _slot(h1: Column, h2: Column, r: int, width: int) -> Column:
+    """Row-r slot in [0, width). width MUST be a power of two: the low-bit
+    mask of the SIGNED bigint equals the unsigned mod (two's complement),
+    which keeps the Spark and DuckDB computations identical without any
+    signed->unsigned detour. The stride is forced odd (coprime to 2^b) so
+    successive rows walk distinct residues. All arithmetic stays below
+    d * width < 2^40 — no ANSI-mode overflow risk."""
+    if width & (width - 1) or width < 2:
+        raise ValueError(f"width must be a power of two >= 2, got {width}")
+    mask = width - 1
+    base = h1.bitwiseAND(F.lit(mask))
+    stride = h2.bitwiseAND(F.lit(mask)).bitwiseOR(F.lit(1))
+    return (base + F.lit(r) * stride).bitwiseAND(F.lit(mask))
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 4096,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch state (Cormode & Muthukrishnan 2005): rows
+    ``(row, col, count)`` — a d x w grid of EXACT partial sums.
+
+    Each input occurrence increments d cells; the groupBy carries at most
+    ``depth * width`` rows through the shuffle (map-side partial sum)
+    however large the input, and states merge across batches/partitions by
+    plain ``sum`` (`cms_merge`) — the additive sibling of the HLL's
+    register max. Estimates only ever OVER-count (collisions add), so
+    ``min`` over the d rows is a one-sided bound: ideal for heavy-hitter
+    screens over 100 TB token/URL streams where the exact groupBy would
+    shuffle every raw value.
+
+    NULLs are excluded (COUNT semantics). The hash layout is
+    value-checked end-to-end by the DuckDB oracle
+    (`__spark_entry__._cms_oracle_sql`)."""
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    h1, h2 = _double_hash_cols(value_col)
+    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col)
+    rows = F.explode(
+        F.array(*[
+            F.struct(F.lit(r).alias("row"), _slot(h1, h2, r, width).alias("col"))
+            for r in range(depth)
+        ])
+    ).alias("rc")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(rows, w.alias("_w"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.sum("_w").alias("count"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Combine CMS states (same depth/width): cell-wise sum. Exact — the
+    merged state equals the sketch of the concatenated inputs."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("count").alias("count"))
+
+
+def cms_estimate(
+    sketch_df: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    depth: int,
+    width: int,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Point-frequency estimates for `items[value_col]`: min over the d
+    cells (>= true count, always). The d-cell lookup is a broadcast-able
+    equi-join against the slim state — the corpus is never re-read."""
+    h1, h2 = _double_hash_cols(value_col)
+    probes = items.select(
+        value_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(r).alias("row"), _slot(h1, h2, r, width).alias("col"))
+                for r in range(depth)
+            ])
+        ).alias("rc"),
+    ).select(value_col, F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+    return (
+        probes.join(F.broadcast(sketch_df), ["row", "col"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("count"), F.lit(0))).alias(out_col))
+    )
+
+
+def _double_hash_py(v: int) -> tuple[int, int]:
+    from ..testing.xxh64 import hash_long
+
+    h1 = hash_long(v, 42)
+    return h1, hash_long(v, h1)
+
+
+def _slot_py(h1: int, h2: int, r: int, width: int) -> int:
+    # unsigned low-bit masks == Spark's signed bitwiseAND (two's complement)
+    return ((h1 & (width - 1)) + r * ((h2 & (width - 1)) | 1)) & (width - 1)
+
+
+def cms_sketch_py(values, depth: int, width: int) -> dict[tuple[int, int], int]:
+    """Pure-python CMS mirror (long values; lockstep with `cms_sketch`)."""
+    grid: dict[tuple[int, int], int] = {}
+    for v in values:
+        if v is None:
+            continue
+        h1, h2 = _double_hash_py(v)
+        for r in range(depth):
+            key = (r, _slot_py(h1, h2, r, width))
+            grid[key] = grid.get(key, 0) + 1
+    return grid
+
+
+def cms_estimate_py(
+    grid: dict[tuple[int, int], int], v: int, depth: int, width: int
+) -> int:
+    h1, h2 = _double_hash_py(v)
+    return min(grid.get((r, _slot_py(h1, h2, r, width)), 0) for r in range(depth))
+
+
+def bloom_build(
+    df: DataFrame, value_col: str, n_hashes: int = 7, n_bits: int = 1 << 16
+) -> DataFrame:
+    """Bloom filter state: the DISTINCT set bit positions (one slim column).
+
+    k positions per element via the same double-hash slots as the CMS; the
+    state is at most ``n_bits`` rows, merges across batches by plain
+    union+distinct (set OR), and never false-negatives. This is the
+    persistable counterpart of Spark's ephemeral runtime bloom pruning —
+    build once over yesterday's 100 TB key set, broadcast-join today's
+    batch against it (`bloom_contains`) to pre-filter before the expensive
+    shuffle join."""
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    h1, h2 = _double_hash_cols(value_col)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.explode(
+                F.array(*[_slot(h1, h2, r, n_bits) for r in range(n_hashes)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    n_hashes: int,
+    n_bits: int,
+    out_col: str = "maybe_present",
+) -> DataFrame:
+    """items + boolean `out_col`: true iff ALL k bits are set (possible
+    member — false positives at the standard (1 - e^(-kn/m))^k rate, never
+    false negatives). The probe is a broadcast left join on the bit
+    column; counting matched bits == k avoids materializing the filter as
+    a driver-side bitmap."""
+    h1, h2 = _double_hash_cols(value_col)
+    probes = items.select(
+        value_col,
+        F.explode(
+            F.array(*[_slot(h1, h2, r, n_bits) for r in range(n_hashes)])
+        ).alias("bit"),
+    )
+    hits = (
+        probes.join(
+            F.broadcast(bloom.withColumn("_set", F.lit(1))), ["bit"], "left"
+        )
+        .groupBy(value_col)
+        .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0))) == F.lit(n_hashes)).alias(out_col))
+    )
+    return items.join(hits, [value_col], "left")
+
+
+def bloom_build_py(values, n_hashes: int, n_bits: int) -> set[int]:
+    bits: set[int] = set()
+    for v in values:
+        if v is None:
+            continue
+        h1, h2 = _double_hash_py(v)
+        bits.update(_slot_py(h1, h2, r, n_bits) for r in range(n_hashes))
+    return bits
+
+
+def bloom_contains_py(bits: set[int], v: int, n_hashes: int, n_bits: int) -> bool:
+    h1, h2 = _double_hash_py(v)
+    return all(_slot_py(h1, h2, r, n_bits) in bits for r in range(n_hashes))
 
 
 def hll_registers_py(values, p: int) -> dict[int, int]:

@@ -89,3 +89,98 @@ def test_nulls_excluded_and_groups_independent(spark):
 def test_bad_precision_rejected(spark):
     with pytest.raises(ValueError):
         sketch.approx_distinct_py([1], 3)
+
+
+# ---- Count-Min ----
+
+
+@pytest.fixture(scope="module")
+def freq_vals():
+    """Skewed multiset: value i appears ~ 50/(i+1) times (heavy hitters
+    plus a long tail), signed values included."""
+    rng = random.Random(11)
+    out = []
+    for i in range(200):
+        out += [i - 100] * max(1, 50 // (i + 1))
+    rng.shuffle(out)
+    return out
+
+
+def test_cms_state_bit_exact(spark, freq_vals):
+    got = {
+        (r["row"], r["col"]): r["count"]
+        for r in sketch.cms_sketch(_df(spark, freq_vals), "v", 4, 256).collect()
+    }
+    assert got == sketch.cms_sketch_py(freq_vals, 4, 256)
+
+
+def test_cms_estimate_never_undercounts_and_matches_mirror(spark, freq_vals):
+    from collections import Counter
+
+    exact = Counter(freq_vals)
+    items = sorted(exact)[:40]
+    state = sketch.cms_sketch(_df(spark, freq_vals), "v", 4, 256)
+    items_df = spark.createDataFrame(
+        pd.DataFrame({"v": pd.array(items, dtype="Int64")})
+    )
+    est = {
+        r["v"]: r["est_count"]
+        for r in sketch.cms_estimate(state, items_df, "v", 4, 256).collect()
+    }
+    grid = sketch.cms_sketch_py(freq_vals, 4, 256)
+    for v in items:
+        assert est[v] == sketch.cms_estimate_py(grid, v, 4, 256)
+        assert est[v] >= exact[v]  # CMS is one-sided
+
+
+def test_cms_merge_equals_whole(spark, freq_vals):
+    a, b = freq_vals[:300], freq_vals[300:]
+    merged = sketch.cms_merge(
+        sketch.cms_sketch(_df(spark, a), "v", 4, 256),
+        sketch.cms_sketch(_df(spark, b), "v", 4, 256),
+    )
+    as_map = lambda df: {  # noqa: E731
+        (r["row"], r["col"]): r["count"] for r in df.collect()
+    }
+    assert as_map(merged) == sketch.cms_sketch_py(freq_vals, 4, 256)
+
+
+def test_cms_width_must_be_power_of_two(spark):
+    for bad in (0, 1, 100):
+        with pytest.raises(ValueError):
+            sketch.cms_sketch(_df(spark, [1]), "v", 4, bad)
+    with pytest.raises(ValueError):
+        sketch.cms_sketch(_df(spark, [1]), "v", 0, 256)
+
+
+# ---- Bloom ----
+
+
+def test_bloom_no_false_negatives_and_bit_exact(spark, vals):
+    members, others = vals[:800], [v + 1 for v in vals[2000:2400]]
+    k, m = 5, 4096
+    bloom = sketch.bloom_build(_df(spark, members), "v", k, m)
+    bits = {r["bit"] for r in bloom.collect()}
+    assert bits == sketch.bloom_build_py(members, k, m)
+    probe = _df(spark, members[:100] + others)
+    got = {
+        r["v"]: r["maybe_present"]
+        for r in sketch.bloom_contains(bloom, probe, "v", k, m).collect()
+    }
+    for v in members[:100]:
+        assert got[v] is True  # never false-negative
+    for v in others:
+        assert got[v] == sketch.bloom_contains_py(bits, v, k, m)
+
+
+def test_bloom_fp_rate_in_range(spark):
+    import math as _m
+
+    members = list(range(1000))
+    k, m = 7, 8192
+    bits = sketch.bloom_build_py(members, k, m)
+    fp = sum(
+        1 for v in range(10_000, 14_000) if sketch.bloom_contains_py(bits, v, k, m)
+    )
+    expected = (1.0 - _m.exp(-k * len(members) / m)) ** k
+    assert fp / 4000 < 4 * expected + 0.01

@@ -61,6 +61,15 @@ AUDITED = [
     ("sketch_hll_custkeys",
      ["xxhash64", "partial_max", "!ArrowEvalPython", "!BatchEvalPython",
       "!CartesianProduct"]),
+    # r5: CMS grid — partial sum on (row, col) before the shuffle; the
+    # top-20 estimate probes the slim state via broadcast join
+    ("sketch_cms_topcust",
+     ["xxhash64", "partial_sum", "BroadcastHashJoin", "!ArrowEvalPython",
+      "!BatchEvalPython", "!CartesianProduct"]),
+    # r5: Bloom — distinct bit-set, broadcast membership probe
+    ("sketch_bloom_members",
+     ["xxhash64", "BroadcastHashJoin", "!ArrowEvalPython",
+      "!BatchEvalPython", "!CartesianProduct"]),
 ]
 
 
