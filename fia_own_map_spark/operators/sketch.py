@@ -264,9 +264,13 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-frequency estimates for `items[value_col]`: min over the d
     cells (>= true count, always). The d-cell lookup is a broadcast-able
-    equi-join against the slim state — the corpus is never re-read."""
+    equi-join against the slim state — the corpus is never re-read.
+
+    NULL probe values are dropped (the sketch never counts NULLs, so the
+    only honest estimate is "no row"); probe with a sentinel if NULL keys
+    need tracking — same convention as `cms_sketch`'s build side."""
     h1, h2 = _double_hash_cols(value_col)
-    probes = items.select(
+    probes = items.filter(F.col(value_col).isNotNull()).select(
         value_col,
         F.explode(
             F.array(*[
@@ -352,9 +356,13 @@ def bloom_contains(
     member — false positives at the standard (1 - e^(-kn/m))^k rate, never
     false negatives). The probe is a broadcast left join on the bit
     column; counting matched bits == k avoids materializing the filter as
-    a driver-side bitmap."""
+    a driver-side bitmap.
+
+    NULL probe values get `out_col` = false: `bloom_build` never inserts
+    NULLs, so a NULL key is definitionally not a member (previously the
+    null-rejecting join-back left them NULL)."""
     h1, h2 = _double_hash_cols(value_col)
-    probes = items.select(
+    probes = items.filter(F.col(value_col).isNotNull()).select(
         value_col,
         F.explode(
             F.array(*[_slot(h1, h2, r, n_bits) for r in range(n_hashes)])
@@ -367,7 +375,9 @@ def bloom_contains(
         .groupBy(value_col)
         .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0))) == F.lit(n_hashes)).alias(out_col))
     )
-    return items.join(hits, [value_col], "left")
+    return items.join(hits, [value_col], "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(False))
+    )
 
 
 def bloom_build_py(values, n_hashes: int, n_bits: int) -> set[int]:

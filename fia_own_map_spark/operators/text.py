@@ -175,7 +175,9 @@ def doc_fingerprint_md5(text_col: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 def gopher_repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """df + duplicate-line / symbol / bullet / ellipsis / alpha-word
-    fractions (6dp), NULL-text rows pass through with NULL features.
+    fractions (6dp). NULL text yields 0.0 in every feature column (the
+    frac guards fall through to the otherwise(0.0) branch when size() is
+    -1/NULL — same convention as the DuckDB oracle).
 
     The duplicate-line char fraction uses a sort + adjacent-equal walk
     (array_sort, zip_with of the array against its own shift) instead of a

@@ -29,9 +29,8 @@ from __future__ import annotations
 
 B32 = 4294967296  # 2^32
 
-# Primes from the INSTALLED engine's XXH64 class file — this pyspark
-# build ships PRIME64_2 = 0xC2B2AE3D27D4EB4F (not the canonical
-# 0xC2B2AE3D4F62B793); see testing/xxh64.py for the extraction note.
+# The canonical xxHash64 primes (Yann Collet's spec) — identical to what
+# Spark's catalyst XXH64 uses; see testing/xxh64.py.
 P1 = 0x9E3779B185EBCA87
 P2 = 0xC2B2AE3D27D4EB4F
 P3 = 0x165667B19E3779F9
@@ -242,7 +241,7 @@ def minhash_fast_oracle_sql(
     prev = str(SEED)
     for r in range(rows_per_band):
         band_steps += hash_long_steps(
-            UNSIGNED.format(s=f"sig[2*b + {r + 1}]"), prev, f"k{r}"
+            UNSIGNED.format(s=f"sig[{rows_per_band}*b + {r + 1}]"), prev, f"k{r}"
         )
         prev = f"k{r}f5"
     banded_inner = chain(

@@ -184,3 +184,27 @@ def test_bloom_fp_rate_in_range(spark):
     )
     expected = (1.0 - _m.exp(-k * len(members) / m)) ** k
     assert fp / 4000 < 4 * expected + 0.01
+
+def test_null_probe_semantics(spark):
+    """r5 ADVICE: NULL probes used to fall out of the null-rejecting
+    join-back (bloom: out_col NULL; cms: a bogus seed-slot estimate).
+    Now: bloom_contains gives false for NULL (never inserted => not a
+    member); cms_estimate drops the NULL probe row entirely."""
+    k, m = 5, 4096
+    members = list(range(100))
+    bloom = sketch.bloom_build(_df(spark, members), "v", k, m)
+    probe = spark.createDataFrame(
+        pd.DataFrame({"v": pd.array([1, None, 99], dtype="Int64")})
+    )
+    got = {
+        r["v"]: r["maybe_present"]
+        for r in sketch.bloom_contains(bloom, probe, "v", k, m).collect()
+    }
+    assert got[1] is True and got[99] is True
+    assert got[None] is False
+
+    state = sketch.cms_sketch(_df(spark, members), "v", 4, 256)
+    est = sketch.cms_estimate(state, probe, "v", 4, 256)
+    vals = {r["v"]: r["est_count"] for r in est.collect()}
+    assert set(vals) == {1, 99}  # NULL probe row dropped
+    assert vals[1] >= 1 and vals[99] >= 1
