@@ -1509,3 +1509,60 @@ def test_pii_scrub(spark):
     r = text.pii_scrub(df).collect()[0]
     assert (r["n_email"], r["n_ssn"], r["n_phone"], r["n_ipv4"]) == (1, 1, 1, 1)
     assert r["clean_text"] == "mail [EMAIL] ip [IP] ph [PHONE] ssn [SSN] end"
+
+
+def test_wav_g711_differential_javasound():
+    """Second independent G.711 conformance reference (r5 verdict stretch):
+    every one of the 256 mu-law and A-law codes decoded through a real WAV
+    blob and compared int16-exactly against the JDK's javax.sound ULAW/ALAW
+    codecs (separate lineage from CPython audioop's C tables — two
+    unrelated implementations agreeing with the ITU formulas code-for-code
+    is as close to the ITU vector set as this container gets). Skips if no
+    JDK."""
+    import shutil
+    import struct as st
+    import subprocess
+    import tempfile
+
+    import numpy as np
+
+    if not shutil.which("javac") or not shutil.which("java"):
+        pytest.skip("no JDK in environment")
+    src = r"""
+import javax.sound.sampled.*;
+import java.io.*;
+public class G711Dump {
+    public static void main(String[] args) throws Exception {
+        AudioInputStream in = AudioSystem.getAudioInputStream(new File(args[0]));
+        AudioFormat f = in.getFormat();
+        AudioFormat pcm = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            f.getSampleRate(), 16, f.getChannels(), 2 * f.getChannels(),
+            f.getSampleRate(), false);
+        AudioInputStream out = AudioSystem.getAudioInputStream(pcm, in);
+        FileOutputStream fo = new FileOutputStream(args[1]);
+        byte[] buf = new byte[4096];
+        int n;
+        while ((n = out.read(buf)) > 0) fo.write(buf, 0, n);
+        fo.close();
+    }
+}
+"""
+    codes = bytes(range(256))
+    with tempfile.TemporaryDirectory() as td:
+        with open(f"{td}/G711Dump.java", "w") as f:
+            f.write(src)
+        subprocess.run(["javac", f"{td}/G711Dump.java"], check=True, cwd=td)
+        for fmt_code in (7, 6):  # mu-law, A-law
+            fmt = st.pack("<HHIIHH", fmt_code, 1, 8000, 8000, 1, 8)
+            blob = _wav_chunks(fmt, codes)
+            with open(f"{td}/t.wav", "wb") as f:
+                f.write(blob)
+            subprocess.run(
+                ["java", "-cp", td, "G711Dump", f"{td}/t.wav", f"{td}/pcm.bin"],
+                check=True, capture_output=True,
+            )
+            ref = np.fromfile(f"{td}/pcm.bin", dtype="<i2")
+            got, rate = multimodal.decode_wav(blob)
+            assert rate == 8000 and got.shape == (256, 1)
+            ours = np.round(got[:, 0] * 32768.0).astype(np.int16)
+            assert np.array_equal(ours, ref), (fmt_code, np.nonzero(ours != ref)[0][:5])
