@@ -1,21 +1,38 @@
 """Benchmark harness (driver-run per round; also the scaling-efficiency
 evidence required by the north rule).
 
-Phase A — headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; each query fully
-materialized via the noop sink.
+Run order (r5 verdict items #1/#2 — one total wall budget, thermal-correct
+ordering, incremental emission):
 
-Phase B — the sandbox two-cluster-size protocol (BASELINE.md): the identical
-fused scoring kernel at two N -> 4N core pairs, each pair comparing the
-identical input at both of its levels (2->8 is the criterion pair, below
-the shared host's saturation knee; 8->32 is the saturation pair, run on a
-4x larger replication so per-pass fixed costs amortize, reported with the
-host's own measured pure-CPU ceiling), plus the full ER job at 8 and 32 for
-context. Results also written to BENCH/BASELINE.md.
+1. BIG E2E PAIR first, on a cold host: the full ER job at 1.6M pages,
+   local[8] vs local[32], >=2 interleaved reps per level with a throttle
+   probe before each leg (r4/r5 both measured this pair inverted when it
+   ran after ~40 min of sustained kernel load).
+2. Phase A — headline queries at $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], cold + warm passes;
+   codec and the ANN recall sweep run here when the budget allows.
+3. Kernel scaling protocol — the identical fused scoring kernel at two
+   N -> 4N core pairs (2->8 criterion below the host's saturation knee;
+   8->32 saturation at 4x replication), plus the host's own measured CPU
+   ceilings (calibrations run ADJACENT, same thermal state).
+4. 200k-page ER context pair + extra kernel rounds, budget permitting.
 
-Prints ONE JSON line:
+One TOTAL wall budget ($SPARK_GRAFT_BENCH_BUDGET_TOTAL, default 2950s)
+covers everything; load sheds in a fixed priority order (kernel extra
+rounds -> 200k context pair -> ANN sweep -> codec) and every shed is
+logged into the emitted JSON (never silent). The summary JSON line is
+printed INCREMENTALLY — after the big pair, after phase A, after the
+first kernel round, and at the end (each line a superset of the last;
+the final line is the complete artifact) — and mirrored to
+bench_out.json, so a wall-clock kill can never zero out the round again
+(r5 shipped rc=124/parsed:null). A SIGTERM/SIGINT handler re-prints the
+latest summary on the way down. BENCH/BASELINE.md is regenerated ONLY
+from this same run's numbers, with the run's provenance (elapsed, budget,
+sheds) embedded.
+
+Prints JSON lines of the form (driver takes the last one):
   {"metric": ..., "value": <headline e2e sec>, "unit": "sec",
-   "queries": {...}, "sf": ..., "scaling": {...}}
+   "queries": {...}, "sf": ..., "scaling": {...}, "phase_completed": ...}
 """
 
 from __future__ import annotations
@@ -70,12 +87,122 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+# ---------------------------------------------------------------------------
+# Total-wall-budget ledger + incremental emission (r5 verdict #1)
+# ---------------------------------------------------------------------------
+TOTAL_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_TOTAL", "2950"))
+T_START = time.time()  # reset at main() entry
+
+# the latest COMPLETE summary (every emitted line is valid on its own);
+# also the payload the SIGTERM handler prints on the way down
+RESULT: dict = {}
+SHED: list[str] = []  # every budget-shed decision, embedded in the JSON
+
+
+def elapsed() -> float:
+    return time.time() - T_START
+
+
+def remaining() -> float:
+    return TOTAL_BUDGET - elapsed()
+
+
+def emit(phase: str) -> None:
+    """Print the current full summary as one JSON line (driver parses the
+    last line; each emission supersedes the previous) and mirror it to
+    bench_out.json so even a SIGKILL leaves an artifact on disk."""
+    RESULT["phase_completed"] = phase
+    RESULT["elapsed_s"] = round(elapsed(), 1)
+    RESULT["budget_s"] = TOTAL_BUDGET
+    RESULT["shed"] = list(SHED)
+    line = json.dumps(RESULT)
+    print(line, flush=True)
+    try:
+        with open(os.path.join(REPO, "bench_out.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+
+
+def _install_signal_net() -> None:
+    import signal
+
+    main_pid = os.getpid()
+
+    def _dump(signum, frame):  # noqa: ARG001
+        # re-entry guard: a killpg often delivers TERM more than once, and
+        # forked multiprocessing children inherit this handler — only the
+        # main process emits, exactly once
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        signal.signal(signal.SIGINT, signal.SIG_DFL)
+        if RESULT and os.getpid() == main_pid:
+            SHED.append(f"killed by signal {signum} at {round(elapsed(), 1)}s")
+            emit(RESULT.get("phase_completed", "partial") + "+signal")
+        # os._exit, not sys.exit: SystemExit raised from a handler while the
+        # main thread is blocked in subprocess machinery gets swallowed (the
+        # first smoke of this handler kept benching after "exiting"); emit()
+        # already flushed, so the hard exit loses nothing
+        os._exit(1)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _dump)
+
+
+def shed(item: str, why: str) -> None:
+    SHED.append(item)
+    log(f"  [budget] shed {item} ({why}; elapsed {round(elapsed())}s "
+        f"of {round(TOTAL_BUDGET)}s)")
+
+
+# ---------------------------------------------------------------------------
+# Host-throttle probe (r5 verdict #2): the sandbox host throttles in
+# multi-minute windows (codec 115 img/s vs 395-429 in the same week; the
+# driver's big pair ran 1.4-4.5x slower than the committed run). A 0.5s
+# single-core probe before each big-pair leg detects a throttled window;
+# we wait it out (bounded) rather than timing the flagship leg inside it.
+# ---------------------------------------------------------------------------
+_PROBE_BEST = 0.0
+
+
+def throttle_probe() -> float:
+    """Single-core ops/sec of the pure-python burn loop (~0.5s)."""
+    n = 6_000_000
+    t0 = time.time()
+    _burn(n)
+    return n / (time.time() - t0)
+
+
+def wait_out_throttle(tag: str, max_wait_s: float = 100.0) -> float:
+    """Probe; if the host is measurably throttled vs the best window seen
+    this run, sleep-and-reprobe (bounded by max_wait_s AND the ledger).
+    Returns the final probe value (recorded in the big-pair history)."""
+    global _PROBE_BEST
+    p = throttle_probe()
+    _PROBE_BEST = max(_PROBE_BEST, p)
+    waited = 0.0
+    while p < 0.55 * _PROBE_BEST and waited < max_wait_s and remaining() > 900:
+        log(f"  [throttle] {tag}: probe {round(p / 1e6, 2)} Mops vs best "
+            f"{round(_PROBE_BEST / 1e6, 2)} — waiting 20s for the window to pass")
+        time.sleep(20)
+        waited += 20
+        p = throttle_probe()
+        _PROBE_BEST = max(_PROBE_BEST, p)
+    return p
+
+
 def _materialize(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
 
 
-def phase_a(sf_dir: str, cpus: int) -> tuple[dict, float, dict]:
+def phase_a(
+    sf_dir: str, cpus: int, do_recall: bool = True, do_codec: bool = True
+) -> tuple[dict, dict, float, dict, dict]:
+    """Headline suite (cold + warm passes) plus — budget permitting — the
+    codec throughput row and the ANN recall/fraction sweep. Shed order per
+    the r5 verdict: the recall sweep sheds before codec, both shed before
+    any mandatory block. Returns (times, times_warm, total, recall, codec);
+    recall/codec are {} when shed."""
     import __spark_entry__ as entrymod
     from fia_own_map_spark.session import build_session
 
@@ -110,8 +237,12 @@ def phase_a(sf_dir: str, cpus: int) -> tuple[dict, float, dict]:
         log("  [A] " + " ".join(f"{n}={pass_times[n]}" for n in HEADLINE) + f" ({tag})")
         if pass_times is times:
             total = round(time.time() - t_all, 3)
-    recall = ann_recall(qs, spark, sf_dir)
-    codec = codec_bench(spark, cpus)
+    codec = codec_bench(spark, cpus) if do_codec else {}
+    if not do_codec:
+        shed("codec", "budget")
+    recall = ann_recall(qs, spark, sf_dir) if do_recall else {}
+    if not do_recall:
+        shed("ann_recall_sweep", "budget")
     spark.stop()
     return times, times_warm, total, recall, codec
 
@@ -160,17 +291,34 @@ def ann_recall(qs, spark, sf_dir: str) -> dict:
     scale — makes the quality/speed dial visible evidence next to the
     throughput numbers (judge r2 item #9). Tiny result sets: toPandas is a
     driver-side set comparison, not a compute path."""
+    from fia_own_map_spark.operators import ann as _ann
+    from pyspark.sql import functions as F
+
     truth = qs["ann_cosine_topk"](spark, sf_dir).toPandas()
-    out: dict[str, float] = {}
-    for name in ("ann_ivf_topk", "ann_lsh_topk", "ann_lsh_multi_topk"):
-        approx = qs[name](spark, sf_dir).toPandas()
+
+    def _recall(approx) -> float:
         recalls = []
         for qid, grp in truth.groupby("query_id"):
             want = set(grp["vec_id"])
             got = set(approx[approx["query_id"] == qid]["vec_id"])
             recalls.append(len(want & got) / len(want))
-        out[name] = round(sum(recalls) / len(recalls), 3)
+        return round(sum(recalls) / len(recalls), 3)
+
+    out: dict[str, float] = {}
+    # contract paths (ann_ivf_topk = deterministic seeded quantizer as of r6)
+    for name in ("ann_ivf_topk", "ann_lsh_topk", "ann_lsh_multi_topk"):
+        out[name] = _recall(qs[name](spark, sf_dir).toPandas())
         log(f"  [A] recall@10 {name}: {out[name]}")
+    # the KMeans-trained quantizer (production IVF fit, same probe/re-rank
+    # path) — measured directly so swapping the contract query to the
+    # SQL-checkable quantizer didn't drop the trained path's evidence
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    km = _ann.ivf_cosine_topk(emb, queries, k=10, n_cells=32, nprobe=6).toPandas()
+    out["ann_ivf_kmeans"] = _recall(km)
+    log(f"  [A] recall@10 ann_ivf_kmeans: {out['ann_ivf_kmeans']}")
     out.update(lsh_candidate_fractions(spark, sf_dir))
     return out
 
@@ -198,17 +346,27 @@ def lsh_candidate_fractions(spark, sf_dir: str) -> dict:
         log(f"  [A] candidate fraction {name}: {out[name]}")
     # IVF: same budget accounting — candidates = corpus rows in probed cells
     # (32 cells / nprobe 6 = the ann_ivf_topk contract config, chosen on the
-    # r5 frontier sweep: equal recall to LSH-multi at a smaller fraction)
-    from fia_own_map_spark.operators.ann import _probe_cells, ivf_index
+    # r5 frontier sweep: equal recall to LSH-multi at a smaller fraction).
+    # Both quantizers measured: KMeans (production fit) and the seeded
+    # deterministic one (the r6 contract query).
+    from fia_own_map_spark.operators.ann import _probe_cells, ivf_index, seeded_centroids
 
     indexed, centroids = ivf_index(emb, n_cells=32)
-    q = _probe_cells(
-        queries.select("query_id", F.col("embedding").alias("_qvec")),
-        centroids, 6, "_qvec",
-    )
-    n_cand = indexed.join(F.broadcast(q), "_cell").count()
-    out["ivf_frac"] = round(n_cand / (n_corpus * n_queries), 4)
-    log(f"  [A] candidate fraction ivf_frac: {out['ivf_frac']}")
+    qsel = queries.select("query_id", F.col("embedding").alias("_qvec"))
+    for tag, idx, cents in (
+        ("ivf_frac", indexed, centroids),
+        (
+            "ivf_seeded_frac",
+            None,  # assignment via _probe_cells nprobe=1 below
+            seeded_centroids(emb, n_cells=32),
+        ),
+    ):
+        if idx is None:
+            idx = _probe_cells(emb.select("vec_id", "embedding"), cents, 1, "embedding")
+        q = _probe_cells(qsel, cents, 6, "_qvec")
+        n_cand = idx.join(F.broadcast(q), "_cell").count()
+        out[tag] = round(n_cand / (n_corpus * n_queries), 4)
+        log(f"  [A] candidate fraction {tag}: {out[tag]}")
     return out
 
 
@@ -555,98 +713,52 @@ KERNEL_REP = {"criterion": int(os.environ.get("SPARK_GRAFT_KERNEL_REPLICATE", "4
               "saturation": int(os.environ.get("SPARK_GRAFT_KERNEL_REPLICATE_HI", "16"))}
 
 
-def phase_b(
-    repeats: int = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3")),
-    budget_s: float = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "780")),
-) -> dict:
-    """Two N->4N kernel pairs, each over the SAME input, interleaved repeats.
+# per-block wall-cost estimates (seconds, unthrottled host) used by the
+# shedding gates; actual measured costs replace the kernel estimate after
+# round 1. RESERVE keeps room for calibrations + final emission.
+KERNEL_ROUND_EST = 700.0
+CALIB_EST = 80.0
+CONTEXT_LEG_EST = 95.0
+RECALL_EST = 280.0
+CODEC_EST = 60.0
+RESERVE = 90.0
 
-    The criterion pair is local[2] -> local[8]: both levels sit below the
-    sandbox host's parallel-CPU saturation knee, so the measured efficiency
-    reflects the engine, not the shared-host ceiling. The 8 -> 32 pair runs
-    the larger fixed-cost-amortized workload and is reported against the
-    host's own measured pure-CPU 8->32 ceiling (2.8-3.3x, not 4x): the
-    kernel stage is shuffle-free and embarrassingly parallel, so at the
-    ceiling it scales with whatever hardware actually exists.
-    """
-    corpus = _bench_corpus_path()
-    er_corpus = _bench_corpus_path(ER_PAGES)
-    pairs_path = _pairs_parquet_path(corpus)
-    t_start = time.time()
-    # runs keyed by (pair_name, cores)
-    kruns: dict[tuple[str, int], list] = {
-        ("criterion", 2): [], ("criterion", 8): [],
-        ("saturation", 8): [], ("saturation", 32): [],
-    }
 
-    def one_round() -> None:
-        for (pair, c) in kruns:
-            env = {"SPARK_GRAFT_KERNEL_REPLICATE": str(KERNEL_REP[pair])}
-            kruns[(pair, c)].append(_pinned_run("kernel", c, pairs_path, env=env))
+def _settle() -> None:
+    """Writeback hygiene: each ER leg writes GBs of checkpoints that the
+    kernel flushes asynchronously after the subprocess exits; sync()
+    between legs so no leg's timed stages compete with the previous leg's
+    page flush."""
+    import subprocess
 
-    # Writeback hygiene: each ER leg writes GBs of checkpoints that the
-    # kernel flushes asynchronously after the subprocess exits; sync()
-    # between legs so no leg's timed stages compete with the previous
-    # leg's page flush.
-    def _settle() -> None:
-        import subprocess
+    subprocess.run(["sync"], check=False)
+    time.sleep(2)
 
-        subprocess.run(["sync"], check=False)
-        time.sleep(2)
 
-    # The big e2e pair (8x corpus) runs FIRST: ALWAYS >=2 interleaved reps
-    # per level — this is the headline e2e proof. Running it at the END
-    # meant ~40 minutes of sustained all-core kernel load preceded it, and
-    # both r4 and r5 measured stage-0 walls 1.5-7x above the same leg run
-    # standalone (host thermal/cgroup throttle under sustained load);
-    # standalone reproductions never showed the inflation. The kernel
-    # rounds are robust to ordering: best-of-many with budget-gated extra
-    # rounds, graded against a host-ceiling calibration that runs ADJACENT
-    # to them (same thermal state).
-    er_corpus_big = _bench_corpus_path(ER_PAGES_BIG)
-    lo_big, hi_big = [], []
+def run_big_pair() -> dict:
+    """The big e2e pair (1.6M pages, local[8] vs local[32]) — the headline
+    e2e scaling proof. Runs FIRST in the whole bench, on a cold host:
+    both r4 and r5 measured this pair 1.5-7x inflated when ~40 min of
+    sustained all-core load preceded it (host thermal/cgroup throttle),
+    and standalone reproductions never showed the inflation. >=2
+    interleaved reps per level (rep 2 sheds only if rep 1 ate >55% of the
+    TOTAL budget); a throttle probe runs before each leg and waits out
+    detected slow windows (bounded)."""
+    corpus_big = _bench_corpus_path(ER_PAGES_BIG)
+    lo_big, hi_big, probes = [], [], []
     for rep in range(2):
+        if rep > 0 and elapsed() > 0.55 * TOTAL_BUDGET:
+            shed("big_pair_rep2", "rep 1 consumed >55% of the total budget")
+            break
         _settle()
-        lo_big.append(_pinned_run("er", 8, er_corpus_big))
+        probes.append(round(wait_out_throttle("big-er@8") / 1e6, 2))
+        lo_big.append(_pinned_run("er", 8, corpus_big))
         _settle()
-        hi_big.append(_pinned_run("er", 32, er_corpus_big))
-    # ER context runs: best-of-2 interleaved (single runs are at the mercy
-    # of multi-minute host-throttle windows, see kernel history)
-    lo_runs, hi_runs = [], []
-    for _ in range(2):
-        _settle()
-        lo_runs.append(_pinned_run("er", 8, er_corpus))
-        _settle()
-        hi_runs.append(_pinned_run("er", 32, er_corpus))
-    # interleave all kernel legs so host-load drift hits each equally; the
-    # first `repeats` rounds are UNCONDITIONAL (the criterion needs >=3
-    # repeats per level); the budget only gates extra rounds
-    for _ in range(max(repeats, 3)):
-        one_round()
-    while time.time() - t_start <= budget_s * 0.6:
-        one_round()
-    calib = cpu_calibration(KERNEL_LEVELS)
-    calib.update(kernel_cpu_calibration(pairs_path))
-    lo, hi = _best_of(lo_runs), _best_of(hi_runs)
+        probes.append(round(wait_out_throttle("big-er@32") / 1e6, 2))
+        hi_big.append(_pinned_run("er", 32, corpus_big))
     lob, hib = _best_of(lo_big), _best_of(hi_big)
-    kbest = {k: max(rs, key=lambda r: r["pairs_per_sec"]) for k, rs in kruns.items()}
-    eff_2_8 = round(
-        kbest[("criterion", 8)]["pairs_per_sec"]
-        / kbest[("criterion", 2)]["pairs_per_sec"] / 4.0, 3
-    )
-    eff_8_32 = round(
-        kbest[("saturation", 32)]["pairs_per_sec"]
-        / kbest[("saturation", 8)]["pairs_per_sec"] / 4.0, 3
-    )
-    eff_e2e = round((lo["e2e_s"] / hi["e2e_s"]) / 4.0, 3)
-    eff_e2e_big = round((lob["e2e_s"] / hib["e2e_s"]) / 4.0, 3)
     return {
-        "n_pages": BENCH_PAGES,
-        "er_pages": ER_PAGES,
         "er_pages_big": ER_PAGES_BIG,
-        "repeats": len(kruns[("criterion", 2)]),
-        "local8": lo,
-        "local32": hi,
         "local8_big": lob,
         "local32_big": hib,
         "big_repeats": len(lo_big),
@@ -655,33 +767,136 @@ def phase_b(
             "e2e_32": [r["e2e_s"] for r in hi_big],
             "records_8": [r["stage_records_s"] for r in lo_big],
             "records_32": [r["stage_records_s"] for r in hi_big],
+            "throttle_probe_mops": probes,
         },
-        "scaling_efficiency_e2e_big": eff_e2e_big,
-        "kernel_best": {
-            2: kbest[("criterion", 2)],
-            8: kbest[("criterion", 8)],
-            32: kbest[("saturation", 32)],
-        },
-        "kernel_best_saturation_8": kbest[("saturation", 8)],
-        "kernel_history": {
-            f"{pair}_{c}": [r["pairs_per_sec"] for r in rs]
-            for (pair, c), rs in kruns.items()
-        },
-        "cpu_calibration": calib,
-        "scaling_efficiency_criterion_2_8": eff_2_8,
-        "scaling_efficiency_8_32": eff_8_32,
-        "scaling_efficiency_8_32_vs_host_ceiling": (
-            round(eff_8_32 / calib["ceiling_efficiency_8_32"], 3)
-            if calib.get("ceiling_efficiency_8_32")
-            else None
-        ),
-        "scaling_efficiency_8_32_vs_kernel_mp_ceiling": (
-            round(eff_8_32 / calib["kernel_mp_ceiling_8_32"], 3)
-            if calib.get("kernel_mp_ceiling_8_32")
-            else None
-        ),
-        "scaling_efficiency_e2e": eff_e2e,
+        "scaling_efficiency_e2e_big": round((lob["e2e_s"] / hib["e2e_s"]) / 4.0, 3),
     }
+
+
+def run_context_pair() -> tuple[list, list] | None:
+    """200k-page ER pair (the fixed-cost exhibit). Sheds AFTER kernel
+    extra rounds but BEFORE the ANN sweep in the priority order; at this
+    point in the run the gate is simply the remaining ledger."""
+    if remaining() < 2 * CONTEXT_LEG_EST + RESERVE:
+        shed("context_pair_200k", "budget")
+        return None
+    er_corpus = _bench_corpus_path(ER_PAGES)
+    reps = 2 if remaining() > 4 * CONTEXT_LEG_EST + RESERVE else 1
+    if reps == 1:
+        shed("context_pair_rep2", "budget")
+    lo_runs, hi_runs = [], []
+    for _ in range(reps):
+        _settle()
+        lo_runs.append(_pinned_run("er", 8, er_corpus))
+        _settle()
+        hi_runs.append(_pinned_run("er", 32, er_corpus))
+    return lo_runs, hi_runs
+
+
+def _new_kruns() -> dict[tuple[str, int], list]:
+    return {
+        ("criterion", 2): [], ("criterion", 8): [],
+        ("saturation", 8): [], ("saturation", 32): [],
+    }
+
+
+def kernel_round(kruns: dict, pairs_path: str) -> float:
+    """One interleaved round of all four kernel legs (so host-load drift
+    hits each pair's levels equally). Returns the round's wall."""
+    t0 = time.time()
+    for (pair, c) in kruns:
+        env = {"SPARK_GRAFT_KERNEL_REPLICATE": str(KERNEL_REP[pair])}
+        kruns[(pair, c)].append(_pinned_run("kernel", c, pairs_path, env=env))
+    return time.time() - t0
+
+
+def assemble_scaling(
+    big: dict,
+    kruns: dict | None = None,
+    calib: dict | None = None,
+    context: tuple[list, list] | None = None,
+) -> dict:
+    """Build the full scaling dict from whatever blocks have run so far —
+    every emission is assembled from MEASURED numbers only (r5 verdict #6:
+    the report can never claim something the shipped run didn't measure).
+    Missing blocks stay absent (the markdown + JSON note the shed)."""
+    out = {"n_pages": BENCH_PAGES, "er_pages": ER_PAGES}
+    out.update(big)
+    if context:
+        lo, hi = _best_of(context[0]), _best_of(context[1])
+        out["local8"] = lo
+        out["local32"] = hi
+        out["context_repeats"] = len(context[0])
+        out["scaling_efficiency_e2e"] = round((lo["e2e_s"] / hi["e2e_s"]) / 4.0, 3)
+    if kruns and kruns[("criterion", 2)]:
+        kbest = {k: max(rs, key=lambda r: r["pairs_per_sec"]) for k, rs in kruns.items()}
+        eff_2_8 = round(
+            kbest[("criterion", 8)]["pairs_per_sec"]
+            / kbest[("criterion", 2)]["pairs_per_sec"] / 4.0, 3
+        )
+        eff_8_32 = round(
+            kbest[("saturation", 32)]["pairs_per_sec"]
+            / kbest[("saturation", 8)]["pairs_per_sec"] / 4.0, 3
+        )
+        out.update({
+            "repeats": len(kruns[("criterion", 2)]),
+            "kernel_best": {
+                2: kbest[("criterion", 2)],
+                8: kbest[("criterion", 8)],
+                32: kbest[("saturation", 32)],
+            },
+            "kernel_best_saturation_8": kbest[("saturation", 8)],
+            "kernel_history": {
+                f"{pair}_{c}": [r["pairs_per_sec"] for r in rs]
+                for (pair, c), rs in kruns.items()
+            },
+            "scaling_efficiency_criterion_2_8": eff_2_8,
+            "scaling_efficiency_8_32": eff_8_32,
+        })
+        if calib:
+            out["cpu_calibration"] = calib
+            if calib.get("ceiling_efficiency_8_32"):
+                out["scaling_efficiency_8_32_vs_host_ceiling"] = round(
+                    eff_8_32 / calib["ceiling_efficiency_8_32"], 3
+                )
+            if calib.get("kernel_mp_ceiling_8_32"):
+                out["scaling_efficiency_8_32_vs_kernel_mp_ceiling"] = round(
+                    eff_8_32 / calib["kernel_mp_ceiling_8_32"], 3
+                )
+    return out
+
+
+def _export_scaling(scaling: dict) -> dict:
+    """The compact scaling block of the emitted JSON line — only measured
+    keys, so a partial emission never fabricates a number."""
+    kb = scaling.get("kernel_best") or {}
+    out = {
+        "e2e_s_local8_big": scaling["local8_big"]["e2e_s"],
+        "e2e_s_local32_big": scaling["local32_big"]["e2e_s"],
+        "e2e_big_history": scaling["big_history"],
+        "efficiency_e2e_big": scaling["scaling_efficiency_e2e_big"],
+        "er_pages_big": scaling["er_pages_big"],
+        "big_repeats": scaling["big_repeats"],
+        "n_pages": scaling["n_pages"],
+    }
+    if kb:
+        out.update({
+            "pairs_per_sec_local2": kb[2]["pairs_per_sec"],
+            "pairs_per_sec_local8": kb[8]["pairs_per_sec"],
+            "pairs_per_sec_local32": kb[32]["pairs_per_sec"],
+            "efficiency": scaling["scaling_efficiency_criterion_2_8"],
+            "efficiency_8_32": scaling["scaling_efficiency_8_32"],
+            "efficiency_8_32_vs_host_ceiling": scaling.get(
+                "scaling_efficiency_8_32_vs_host_ceiling"
+            ),
+            "efficiency_8_32_vs_kernel_mp_ceiling": scaling.get(
+                "scaling_efficiency_8_32_vs_kernel_mp_ceiling"
+            ),
+        })
+    if "local8" in scaling:
+        out["e2e_s_local8"] = scaling["local8"]["e2e_s"]
+        out["e2e_s_local32"] = scaling["local32"]["e2e_s"]
+    return out
 
 
 def _big_pair_claim(scaling: dict) -> str:
@@ -726,24 +941,43 @@ def _big_pair_claim(scaling: dict) -> str:
 def write_baseline_md(
     scaling: dict, ann_recall: dict | None = None, codec: dict | None = None
 ) -> None:
-    lo, hi = scaling["local8"], scaling["local32"]
+    """Regenerate BENCH/BASELINE.md from THIS run's measured numbers only
+    (r5 verdict #6): every table and claim below interpolates the run
+    being emitted, the provenance block records elapsed/budget/sheds, and
+    sections whose block was shed are replaced by an explicit shed note —
+    the committed report can never again diverge from the official JSON."""
+    import datetime
+
     lob, hib = scaling["local8_big"], scaling["local32_big"]
-    kb = scaling["kernel_best"]
-    k2, k8, k32 = kb[2], kb[8], kb[32]
-    k8s = scaling["kernel_best_saturation_8"]
-    calib = scaling["cpu_calibration"]
+    kb = scaling.get("kernel_best")
+    calib = scaling.get("cpu_calibration", {})
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    shed_line = ("; ".join(SHED) if SHED else "none")
     md = f"""# BENCH — measured results (sandbox scaling protocol)
+
+**Run provenance**: generated {stamp} by the SAME bench.py invocation whose
+JSON line ships (wall {round(elapsed(), 1)}s of a {round(TOTAL_BUDGET)}s
+total budget; load shed: {shed_line}). Every number and claim in this file
+is interpolated from that run — nothing is carried over from earlier runs.
 
 Per BASELINE.md: no real multi-node cluster is available; the N -> 4N
 executor criterion is evidenced at two core-count pairs over the SAME input
 (seed-42 corpus, {scaling['n_pages']} pages; identical JVM heap and the
 same job-level constant shuffle width at every level). Best of
-{scaling['repeats']} interleaved repeats per level (the sandbox host has
+{scaling.get('repeats')} interleaved repeats per level (the sandbox host has
 noisy neighbors; single runs showed up to 3x run-to-run drift). Each
 measurement runs in a subprocess pinned with `taskset` to exactly N CPUs
 (unpinned local[N] would quietly use up to 2N cores — JVM task threads plus
-pandas-UDF python workers — inflating the small baseline).
-
+pandas-UDF python workers — inflating the small baseline). The big e2e pair
+runs FIRST, on a cold host, with a single-core throttle probe before each
+leg (probes this run: {scaling['big_history'].get('throttle_probe_mops')}
+Mops) — r4/r5 showed the pair 1.5-7x inflated when it ran after sustained
+kernel load.
+"""
+    if kb:
+        k2, k8, k32 = kb[2], kb[8], kb[32]
+        k8s = scaling["kernel_best_saturation_8"]
+        md += f"""
 ## Criterion metric: candidate-pairs-scored/sec (scoring kernel)
 
 The stage-2 scoring operator — ONE fused Arrow UDF computing numpy-batched
@@ -796,8 +1030,15 @@ criterion local[2] {scaling['kernel_history']['criterion_2']} ·
 criterion local[8] {scaling['kernel_history']['criterion_8']} ·
 saturation local[8] {scaling['kernel_history']['saturation_8']} ·
 saturation local[32] {scaling['kernel_history']['saturation_32']}
-
-## Full similarity-mode ER job (context; {scaling.get('er_pages', scaling['n_pages'])} pages, best of 2)
+"""
+    else:
+        md += ("\n## Criterion metric: NOT MEASURED in this run (kernel "
+               "round shed on budget) — do not cite earlier rounds' numbers "
+               "as this run's.\n")
+    if "local8" in scaling:
+        lo, hi = scaling["local8"], scaling["local32"]
+        md += f"""
+## Full similarity-mode ER job (context; {scaling.get('er_pages', scaling['n_pages'])} pages, best of {scaling.get('context_repeats')})
 
 Stage walls include parquet checkpoint writes + per-partition lineage metrics
 (the resumability requirement). At this corpus size the full job is dominated
@@ -818,7 +1059,11 @@ kernel above is the compute that scales with pair volume.
 
 End-to-end efficiency: `{scaling['scaling_efficiency_e2e']}` (overhead-bound
 at this scale, see note above).
-
+"""
+    else:
+        md += ("\n## Full similarity-mode ER job (200k context pair): SHED "
+               "(budget) — the 8x pair below is the e2e scaling proof\n")
+    md += f"""
 ## Full ER job at 8x corpus ({scaling.get('er_pages_big')} pages) — the e2e scaling proof
 
 The same job on an 8x corpus, where the compute stages (extract/classify,
@@ -852,7 +1097,8 @@ corpus before the groupBy+join rewrite; the full 8x corpus now runs in
 
 | path | recall@10 | corpus fraction scored (measured) |
 |---|---|---|
-| IVF (32 cells, nprobe=6) | {ann_recall.get('ann_ivf_topk')} | {ann_recall.get('ivf_frac')} |
+| IVF seeded quantizer (32 cells, nprobe=6 — the `ann_ivf_topk` contract query, SQL-value-checked) | {ann_recall.get('ann_ivf_topk')} | {ann_recall.get('ivf_seeded_frac')} |
+| IVF KMeans quantizer (32 cells, nprobe=6 — production fit, same probe/re-rank path) | {ann_recall.get('ann_ivf_kmeans')} | {ann_recall.get('ivf_frac')} |
 | LSH single table (6 planes, flip-1) | {ann_recall.get('ann_lsh_topk')} | {ann_recall.get('lsh_frac')} |
 | LSH OR-amplified (7 tables x 8 planes, flip-1) | {ann_recall.get('ann_lsh_multi_topk')} | {ann_recall.get('lsh_multi_frac')} |
 
@@ -891,45 +1137,77 @@ same dispatch (documented in `multimodal.py`); the Spark-side shape
 
 
 def main() -> None:
+    global T_START
+    T_START = time.time()
+    _install_signal_net()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     os.makedirs(CACHE, exist_ok=True)
+    do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
-    queries, queries_warm, total, recall, codec = phase_a(sf_dir, cpus)
-
-    scaling = None
-    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        scaling = phase_b()
-        write_baseline_md(scaling, recall, codec)
-
-    result = {
+    RESULT.update({
         "metric": "headline_suite_e2e",
-        "value": total,
+        "value": None,
         "unit": "sec",
+        "queries": {},
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+    })
+
+    big = None
+    if do_scaling:
+        # 0. the big e2e pair FIRST, cold host (r5 verdict #2)
+        big = run_big_pair()
+        RESULT["scaling"] = _export_scaling(assemble_scaling(big))
+        emit("big_pair")
+
+    # 1. phase A — headline suite; codec/ANN sweep gated on the ledger
+    # after reserving the mandatory kernel round + calibration (shed
+    # order: ANN sweep before codec, both before any mandatory block)
+    mandatory_left = (KERNEL_ROUND_EST + CALIB_EST + RESERVE) if do_scaling else RESERVE
+    rem_for_extras = remaining() - mandatory_left - 170.0  # headline est
+    do_codec = rem_for_extras > CODEC_EST
+    do_recall = rem_for_extras - (CODEC_EST if do_codec else 0) > RECALL_EST
+    queries, queries_warm, total, recall, codec = phase_a(
+        sf_dir, cpus, do_recall=do_recall, do_codec=do_codec
+    )
+    RESULT.update({
+        "value": total,
         "queries": queries,
         "queries_warm": queries_warm,
-        "sf": sf_dir.rstrip("/").split("sf")[-1],
         "ann_recall_at_10": recall,
         "codec": codec,
-    }
-    if scaling:
-        result["scaling"] = {
-            "pairs_per_sec_local2": scaling["kernel_best"][2]["pairs_per_sec"],
-            "pairs_per_sec_local8": scaling["kernel_best"][8]["pairs_per_sec"],
-            "pairs_per_sec_local32": scaling["kernel_best"][32]["pairs_per_sec"],
-            "efficiency": scaling["scaling_efficiency_criterion_2_8"],
-            "efficiency_8_32": scaling["scaling_efficiency_8_32"],
-            "efficiency_8_32_vs_host_ceiling": scaling[
-                "scaling_efficiency_8_32_vs_host_ceiling"
-            ],
-            "e2e_s_local8": scaling["local8"]["e2e_s"],
-            "e2e_s_local32": scaling["local32"]["e2e_s"],
-            "e2e_s_local8_big": scaling["local8_big"]["e2e_s"],
-            "e2e_s_local32_big": scaling["local32_big"]["e2e_s"],
-            "er_pages_big": scaling["er_pages_big"],
-            "n_pages": scaling["n_pages"],
-        }
-    print(json.dumps(result))
+    })
+    emit("phase_a")
+
+    if not do_scaling:
+        return
+
+    # 2. kernel scaling protocol, round 1 mandatory (THE criterion
+    # metric), calibrations adjacent (same thermal state)
+    corpus = _bench_corpus_path()
+    pairs_path = _pairs_parquet_path(corpus)
+    kruns = _new_kruns()
+    round_cost = kernel_round(kruns, pairs_path)
+    calib = cpu_calibration(KERNEL_LEVELS)
+    calib.update(kernel_cpu_calibration(pairs_path))
+    RESULT["scaling"] = _export_scaling(assemble_scaling(big, kruns, calib))
+    emit("kernel_round1")
+
+    # 3. 200k context pair (sheds after kernel extras in priority, but
+    # runs before them so the extras absorb whatever budget is left)
+    context = run_context_pair()
+
+    # 4. extra kernel rounds while the measured round cost fits (max 3
+    # rounds total — these shed FIRST, by running last)
+    while len(kruns[("criterion", 2)]) < 3 and remaining() > round_cost + RESERVE:
+        round_cost = min(round_cost, kernel_round(kruns, pairs_path))
+    if len(kruns[("criterion", 2)]) < 3:
+        shed(f"kernel_rounds_beyond_{len(kruns[('criterion', 2)])}", "budget")
+
+    scaling = assemble_scaling(big, kruns, calib, context)
+    write_baseline_md(scaling, recall, codec)
+    RESULT["scaling"] = _export_scaling(scaling)
+    emit("final")
 
 
 def _worker_main() -> None:
