@@ -216,11 +216,46 @@ def q_dedup_exact_keep(spark, sf):
 
 
 def q_dedup_minhash_pairs(spark, sf):
-    """md5 hash family — DuckDB-reproducible, the value-checked variant."""
+    """md5 hash family — DuckDB-reproducible sibling of the production
+    xxhash64 path. Dropped from the 50-query driver contract in r6 (the
+    xxhash64 variant is value-checked end-to-end since r5, so this row was
+    redundant there); still value-checked every pytest run against
+    MINHASH_MD5_ORACLE_SQL (tests/test_ops.py::test_minhash_md5_oracle)."""
     return dedup.minhash_lsh_pairs(
         _t(spark, sf, "documents"), n_hashes=8, n_bands=4, shingle_k=1,
         jaccard_threshold=0.9, hash_family="md5",
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# md5-family MinHash oracle (ex-contract row; see q_dedup_minhash_pairs)
+MINHASH_MD5_ORACLE_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS sh
+      FROM documents),
+    s AS (
+      SELECT doc_id, sh,
+             [list_min(list_transform(sh, g -> md5(g || '#' || i::varchar))) FOR i IN range(0, 8)] AS sig
+      FROM t),
+    banded AS (
+      SELECT doc_id, sh, band FROM (
+        SELECT doc_id, sh,
+               'b' || b::varchar || ':' || md5(array_to_string(sig[b*2+1:b*2+2], ',')) AS band
+        FROM s, unnest(range(0, 4)) AS u(b))
+      QUALIFY count(*) OVER (PARTITION BY band) <= 1000),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+      FROM banded a JOIN banded b USING (band)
+      WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           round(CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) = 0 THEN 1.0
+                 ELSE len(list_intersect(sh_a, sh_b))::double
+                      / len(list_distinct(list_concat(sh_a, sh_b))) END, 6) AS jaccard
+    FROM cand
+    WHERE (CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) = 0 THEN 1.0
+           ELSE len(list_intersect(sh_a, sh_b))::double
+                / len(list_distinct(list_concat(sh_a, sh_b))) END) >= 0.9
+"""
 
 
 def q_dedup_minhash_fast(spark, sf):
@@ -495,6 +530,24 @@ def q_ann_ivf_topk(spark, sf):
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return ann.ivf_seeded_cosine_topk(emb, queries, k=10, n_cells=32, nprobe=6)
+
+
+def q_ann_ivf_lloyd_topk(spark, sf):
+    """IVF with the integer-exact Lloyd-TRAINED quantizer (r5 verdict #4
+    option A, taken further than asked): seeded init + 2 fixed Lloyd
+    iterations over floor(x * 2^20) integer vectors, so the entire FIT —
+    not just assignment/probe/re-rank — is order-independent bigint
+    arithmetic, bit-reproducible across partitionings and unrolled
+    iteration-by-iteration in the DuckDB oracle (`_ivf_lloyd_oracle_sql`).
+    Float KMeans (`ann.ivf_index`) remains the pyspark.ml production fit;
+    this is the trained quantizer you can actually value-check."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ann.ivf_lloyd_cosine_topk(
+        emb, queries, k=10, n_cells=32, nprobe=6, n_iters=2
+    )
 
 
 def q_sketch_hll_custkeys(spark, sf):
@@ -908,7 +961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "dedup_exact_groups": q_dedup_exact_groups,
         "dedup_exact_keep": q_dedup_exact_keep,
-        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        # dedup_minhash_pairs (md5 family) left the 50-query contract in r6:
+        # redundant next to the value-checked xxhash64 row; still oracle-
+        # checked in pytest (test_minhash_md5_oracle)
         "dedup_minhash_fast": q_dedup_minhash_fast,      # XXH64-in-SQL oracle (r5)
         "dedup_simhash_pairs": q_dedup_simhash_pairs,    # FNV-in-SQL oracle (r5)
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -931,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,                  # seeded-plane SQL oracle (r5)
         "ann_lsh_multi_topk": q_ann_lsh_multi_topk,      # seeded-plane SQL oracle (r5)
         "ann_ivf_topk": q_ann_ivf_topk,                  # seeded-quantizer SQL oracle (r6)
+        "ann_ivf_lloyd_topk": q_ann_ivf_lloyd_topk,      # TRAINED integer-Lloyd SQL oracle (r6)
         # sketches
         "sketch_hll_custkeys": q_sketch_hll_custkeys,    # full-HLL SQL oracle (r5)
         "sketch_cms_topcust": q_sketch_cms_topcust,      # full-CMS SQL oracle (r5)
@@ -1073,6 +1129,92 @@ def _ivf_seeded_oracle_sql(
                        / (sqrt({foldsq('a.embedding')}) * sqrt({foldsq('q.qv')})) END, 6) AS score
           FROM probe p JOIN asn a USING (cell)
                        JOIN q ON q.query_id = p.query_id)
+        SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank FROM (
+          SELECT query_id, vec_id, score,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+          FROM scored) WHERE rank <= {k}
+    """
+
+
+def _ivf_lloyd_oracle_sql(
+    n_cells: int = 32, nprobe: int = 6, n_iters: int = 2, dim: int = 64, k: int = 10
+) -> str:
+    """DuckDB oracle for `ann_ivf_lloyd_topk` — the integer-exact TRAINED
+    quantizer (ann.lloyd_centroids), iterations unrolled as CTEs.
+
+    Training runs on floor(x * 2^20) integer vectors: multiplying a float
+    by a power of two is exact and floor is unambiguous, so both engines
+    train on identical bigints; integer sums are order-independent (no
+    float-summation parity trap) and the centroid mean is the explicit
+    sign(s) * (|s| // n) truncating division, so Spark `div` and DuckDB
+    `//` agree by construction. Assignment/probe ties break by smallest
+    cell; the re-rank is the same sequential-fold float cosine as
+    `_ivf_seeded_oracle_sql`."""
+    int_l2 = lambda a, b: (  # noqa: E731 — bigint, order-independent
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+    fold = lambda v, p: (  # noqa: E731 — Spark's sequential float fold
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
+        f"i -> {v}[i]::DOUBLE * {p}[i]::DOUBLE)), (a, b) -> a + b)"
+    )
+    foldsq = lambda v: fold(v, v)  # noqa: E731
+    ctes = [
+        f"""q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(x::DOUBLE * 1048576.0) AS BIGINT)) AS qv,
+                 embedding
+          FROM embeddings)""",
+        f"""cent0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, qv AS c
+          FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {n_cells}))""",
+    ]
+    prev = "cent0"
+    for t in range(1, n_iters + 1):
+        ctes += [
+            f"""asn{t} AS (
+              SELECT vec_id, cell, qv FROM (
+                SELECT q.vec_id, c.cell, q.qv,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY {int_l2('c.c', 'q.qv')}, c.cell) AS rn
+                FROM q, {prev} c) WHERE rn = 1)""",
+            f"""sums{t} AS (
+              SELECT cell, i, sum(qv[i]) AS s, count(*) AS n
+              FROM asn{t}, range(1, {dim + 1}) r(i) GROUP BY cell, i)""",
+            f"""newc{t} AS (
+              SELECT cell, list(CAST(sign(s) AS BIGINT) * (abs(s) // n) ORDER BY i) AS c
+              FROM sums{t} GROUP BY cell)""",
+            f"""cent{t} AS (
+              SELECT p.cell, COALESCE(nw.c, p.c) AS c
+              FROM {prev} p LEFT JOIN newc{t} nw USING (cell))""",
+        ]
+        prev = f"cent{t}"
+    ctes += [
+        f"""asnf AS (
+          SELECT vec_id, cell, embedding FROM (
+            SELECT q.vec_id, c.cell, q.embedding,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {int_l2('c.c', 'q.qv')}, c.cell) AS rn
+            FROM q, {prev} c) WHERE rn = 1)""",
+        """qq AS (SELECT vec_id AS query_id, qv, embedding AS qemb
+                  FROM q WHERE vec_id < 5)""",
+        f"""probe AS (
+          SELECT query_id, cell, qemb FROM (
+            SELECT qq.query_id, c.cell, qq.qemb,
+                   row_number() OVER (PARTITION BY qq.query_id
+                                      ORDER BY {int_l2('c.c', 'qq.qv')}, c.cell) AS rn
+            FROM qq, {prev} c) WHERE rn <= {nprobe})""",
+        f"""scored AS (
+          SELECT p.query_id, a.vec_id,
+            round(CASE WHEN sqrt({foldsq('a.embedding')}) * sqrt({foldsq('p.qemb')}) = 0
+                       THEN 0.0
+                  ELSE {fold('a.embedding', 'p.qemb')}
+                       / (sqrt({foldsq('a.embedding')}) * sqrt({foldsq('p.qemb')})) END,
+                  6) AS score
+          FROM probe p JOIN asnf a USING (cell))""",
+    ]
+    return "WITH " + ",\n".join(ctes) + f"""
         SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank FROM (
           SELECT query_id, vec_id, score,
                  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
@@ -1520,34 +1662,9 @@ def oracle_sql() -> dict[str, str]:
                          AS canon
               FROM documents) WHERE doc_id = canon
         """,
-        "dedup_minhash_pairs": """
-            WITH t AS (
-              SELECT doc_id,
-                     list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS sh
-              FROM documents),
-            s AS (
-              SELECT doc_id, sh,
-                     [list_min(list_transform(sh, g -> md5(g || '#' || i::varchar))) FOR i IN range(0, 8)] AS sig
-              FROM t),
-            banded AS (
-              SELECT doc_id, sh, band FROM (
-                SELECT doc_id, sh,
-                       'b' || b::varchar || ':' || md5(array_to_string(sig[b*2+1:b*2+2], ',')) AS band
-                FROM s, unnest(range(0, 4)) AS u(b))
-              QUALIFY count(*) OVER (PARTITION BY band) <= 1000),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
-              FROM banded a JOIN banded b USING (band)
-              WHERE a.doc_id < b.doc_id)
-            SELECT id_a, id_b,
-                   round(CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) = 0 THEN 1.0
-                         ELSE len(list_intersect(sh_a, sh_b))::double
-                              / len(list_distinct(list_concat(sh_a, sh_b))) END, 6) AS jaccard
-            FROM cand
-            WHERE (CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) = 0 THEN 1.0
-                   ELSE len(list_intersect(sh_a, sh_b))::double
-                        / len(list_distinct(list_concat(sh_a, sh_b))) END) >= 0.9
-        """,
+        # (dedup_minhash_pairs md5-family oracle moved to the module-level
+        # MINHASH_MD5_ORACLE_SQL, pytest-checked — r6 contract slot freed
+        # for the trained-quantizer IVF row)
         # FNV-1a 64 reproduced in pure SQL (r4 verdict stretch #8): token
         # bytes via hex(encode(t)) nibble lookup, the xor-multiply fold as a
         # list_reduce in HUGEINT with an explicit mod-2^64 wrap (64x40-bit
@@ -1725,6 +1842,10 @@ def oracle_sql() -> dict[str, str]:
         # KMeans fit is the production variant, same probe/re-rank path) —
         # the whole query is rebuilt in SQL, zero rows-only entries left
         "ann_ivf_topk": _ivf_seeded_oracle_sql(n_cells=32, nprobe=6),
+        # TRAINED quantizer, value-checked: 2 Lloyd iterations over
+        # floor(x*2^20) integer vectors unrolled as CTEs — the fit itself
+        # is bit-reproducible (integer sums, explicit truncating division)
+        "ann_ivf_lloyd_topk": _ivf_lloyd_oracle_sql(n_cells=32, nprobe=6, n_iters=2),
         # HyperLogLog rebuilt end-to-end in SQL (registers + estimator)
         "sketch_hll_custkeys": _hll_oracle_sql(p=8),
         # Count-Min grid and Bloom bit-set rebuilt in pure-integer SQL

@@ -305,6 +305,149 @@ def ivf_seeded_cosine_topk(
     return _global_topk(scored, k, query_id_col, id_col)
 
 
+# integer quantization scale for the Lloyd trainer: floor(x * 2^20).
+# Multiplying a float by a power of two is EXACT (exponent shift) and floor
+# is unambiguous on both engines, so the training input is the identical
+# integer grid everywhere — from there every Lloyd step is pure bigint
+# arithmetic (order-independent sums, explicit truncating division), which
+# is what makes a TRAINED quantizer bit-reproducible across Spark
+# partitionings AND in DuckDB SQL. 2^20 keeps sums far inside int64:
+# |x| <= 8 -> q <= 2^23, squared diffs <= 2^48, 64-dim sums <= 2^54.
+_Q_SCALE = 1 << 20
+
+
+def _int_qvec(vec_col: Column | str) -> Column:
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        v, lambda x: F.floor(x.cast("double") * F.lit(float(_Q_SCALE))).cast("long")
+    )
+
+
+def _int_l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def lloyd_centroids(
+    corpus: DataFrame,
+    n_cells: int = 32,
+    n_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd-trained coarse quantizer: (``_cell``, ``_c``
+    array<long>) after ``n_iters`` fixed iterations from the id-ordered
+    seed (`seeded_centroids`' convention), entirely in integer arithmetic.
+
+    Per iteration: argmin integer-L2 assignment (ties by smallest cell),
+    then centroid = truncated integer mean per dimension
+    (sign(s) * (|s| div n) — written explicitly so Spark's `div` and
+    DuckDB's `//` agree regardless of their negative-operand conventions);
+    empty cells keep their previous centroid. Integer sums are associative,
+    so the result is independent of partitioning — the property float
+    KMeans can never give — and the whole fit unrolls into DuckDB SQL
+    (`_ivf_lloyd_oracle_sql`). Assignment is one groupBy shuffle of slim
+    (id, cell) rows per iteration with map-side partial min; at 100 TB you
+    train on a sample (same determinism) and write the assignment once,
+    exactly like `ivf_index`."""
+    q = corpus.select(F.col(id_col).alias("_id"), _int_qvec(vec_col).alias("_q"))
+    w = Window.orderBy("_id")  # bounded: n_cells rows after the limit
+    cent = (
+        q.orderBy("_id").limit(n_cells)
+        .select((F.row_number().over(w) - 1).alias("_cell"), F.col("_q").alias("_c"))
+    )
+    for _ in range(n_iters):
+        asn = (
+            q.crossJoin(F.broadcast(cent))
+            .withColumn("_d", _int_l2(F.col("_q"), F.col("_c")))
+            .groupBy("_id")
+            # (d, cell) is a total order per _id (cells are distinct), so
+            # the struct-min is the exact tie-by-smallest-cell argmin; _q
+            # rides along to avoid a join back
+            .agg(F.min(F.struct(F.col("_d"), F.col("_cell"), F.col("_q"))).alias("_m"))
+            .select(F.col("_m._cell").alias("_cell"), F.col("_m._q").alias("_q"))
+        )
+        sums = asn.groupBy("_cell").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.sum(F.col("_q")[i]).alias(f"_s{i}") for i in range(dim)],
+        )
+        newc = sums.selectExpr(
+            "_cell",
+            "array("
+            + ",".join(
+                f"cast(sign(_s{i}) as bigint) * (abs(_s{i}) div _n)" for i in range(dim)
+            )
+            + ") as _c_new",
+        )
+        cent = (
+            cent.join(newc, "_cell", "left")
+            .select("_cell", F.coalesce(F.col("_c_new"), F.col("_c")).alias("_c"))
+        )
+    return cent
+
+
+def ivf_lloyd_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 32,
+    nprobe: int = 6,
+    n_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF top-k with the integer-exact Lloyd-TRAINED quantizer — the fully
+    value-checked trained sibling of `ivf_cosine_topk` (r5 verdict #4's
+    option A: seeded init + fixed iteration count, iterations unrolled in
+    the oracle). Assignment and probing rank cells by integer L2 on the
+    quantized vectors (matching the training metric); the re-rank is exact
+    float cosine on the ORIGINAL embeddings, same as every other ANN path.
+    Pass a prebuilt `lloyd_centroids` frame to amortize the fit across
+    query batches."""
+    cent = centroids if centroids is not None else lloyd_centroids(
+        corpus, n_cells, n_iters, dim, id_col, vec_col
+    )
+    asn = (
+        corpus.select(id_col, vec_col, _int_qvec(vec_col).alias("_q"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("_d", _int_l2(F.col("_q"), F.col("_c")))
+        .groupBy(id_col)
+        .agg(
+            F.min(F.struct(F.col("_d"), F.col("_cell"), F.col(vec_col))).alias("_m")
+        )
+        .select(
+            id_col,
+            F.col("_m._cell").alias("_cell"),
+            F.col(f"_m.{vec_col}").alias(vec_col),
+        )
+    )
+    qprobe = (
+        queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
+        .withColumn("_qq", _int_qvec(F.col("_qvec")))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("_d", _int_l2(F.col("_qq"), F.col("_c")))
+    )
+    wq = Window.partitionBy(query_id_col).orderBy("_d", "_cell")  # bounded: n_cells rows
+    probe = (
+        qprobe.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id_col, "_qvec", "_cell")
+    )
+    scored = asn.join(F.broadcast(probe), "_cell").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).alias("score"),
+    )
+    return _global_topk(scored, k, query_id_col, id_col)
+
+
 def _probe_buckets(bucket: Column, n_planes: int, radius: int) -> Column:
     """array<string> of probe buckets: the query's own sign bucket plus
     every bucket within ``radius`` bit flips (standard multi-probe LSH —

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fia_own_map_spark.config import EngineConfig
+from fia_own_map_spark.operators import sketch
 from fia_own_map_spark.operators.blocking import blocking_keys, star_edges
 from fia_own_map_spark.operators.cc import connected_components
 from fia_own_map_spark.operators.refine import refine_clusters_by_address
@@ -128,15 +129,35 @@ class IncrementalER:
     DeltaStateStore). Used from `foreachBatch` or called directly for tests.
     """
 
-    def __init__(self, spark: SparkSession, state_dir: str, cfg: EngineConfig | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        cfg: EngineConfig | None = None,
+        hll_p: int = 10,
+    ):
         self.spark = spark
         self.state_dir = state_dir
         self.cfg = cfg or EngineConfig()
+        self.hll_p = hll_p
         self._keys = DeltaStateStore(
             spark, state_dir, "keys", "url string, block_key string", key_cols=None
         )
         self._labels = DeltaStateStore(
             spark, state_dir, "labels", _LABEL_SCHEMA, key_cols=["url"]
+        )
+        # Merged HLL register state: distinct owner names per own_type,
+        # maintained by bucket-wise max across batches (sketch.hll_merge is
+        # idempotent/commutative/associative, so the merged state equals the
+        # whole-corpus sketch exactly — test_streaming.py asserts register
+        # bit-equality). The state is bounded at groups x 2**p rows BY
+        # CONSTRUCTION, so corpus-level distinct stats never re-read raw
+        # pages — the sketch answer to "COUNT(DISTINCT name) over 100 TB of
+        # history" in an O(batch)-per-batch pipeline.
+        self._name_hll = DeltaStateStore(
+            spark, state_dir, "hll_names",
+            "own_type int, bucket bigint, maxrank int",
+            key_cols=["own_type", "bucket"],
         )
 
     def process_batch(self, pages: DataFrame, batch_id: int = 0) -> DataFrame:
@@ -212,9 +233,27 @@ class IncrementalER:
         )
         self._keys.append(new_keys.distinct(), batch_id)
         self._labels.append(label_delta, batch_id)
+        # sketch rollup: merge this batch's registers into the state (the
+        # appended delta is the bounded merged table — latest-wins read
+        # then yields exactly max(old, batch) per (own_type, bucket))
+        batch_regs = sketch.hll_registers(
+            records.filter(F.col("own_type") != -99),
+            ["own_type"], "simple_owners", p=self.hll_p,
+        )
+        self._name_hll.append(
+            sketch.hll_merge(self._name_hll.read(), batch_regs), batch_id
+        )
         # output view: family/juniors clusters split by address (the batch
         # pipeline applies the same refinement after CC)
         return refine_clusters_by_address(self._labels.read())
+
+    def distinct_names_estimate(self) -> DataFrame:
+        """Approximate COUNT(DISTINCT simple_owners) per own_type from the
+        merged register state — answered from the sketch alone (bounded
+        rows), never by re-scanning ingested pages."""
+        return sketch.hll_estimate(
+            self._name_hll.read(), ["own_type"], self.hll_p, "est_distinct_names"
+        )
 
     def attach_stream(self, pages_stream: DataFrame, checkpoint: str):
         """Wire into Structured Streaming via foreachBatch."""

@@ -1566,3 +1566,23 @@ public class G711Dump {
             assert rate == 8000 and got.shape == (256, 1)
             ours = np.round(got[:, 0] * 32768.0).astype(np.int16)
             assert np.array_equal(ours, ref), (fmt_code, np.nonzero(ours != ref)[0][:5])
+
+
+def test_minhash_md5_oracle(spark):
+    """The md5-family MinHash left the 50-query driver contract in r6
+    (redundant next to the value-checked xxhash64 row) — this pytest keeps
+    it oracle-checked: Spark result vs MINHASH_MD5_ORACLE_SQL in DuckDB on
+    the sf0.001 documents table, row-set exact."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in entrymod.q_dedup_minhash_pairs(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = sorted(map(tuple, con.execute(entrymod.MINHASH_MD5_ORACLE_SQL).fetchall()))
+    assert got == want and len(got) > 0
