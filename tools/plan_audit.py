@@ -70,6 +70,13 @@ AUDITED = [
     ("sketch_bloom_members",
      ["xxhash64", "BroadcastHashJoin", "!ArrowEvalPython",
       "!BatchEvalPython", "!CartesianProduct"]),
+    # r6: integer-Lloyd IVF — centroid table is BROADCAST to the corpus
+    # (the corpus itself is never shuffled by the join), argmin assignment
+    # is a groupBy with map-side partial_min, everything native (no python
+    # islands in training, assignment, probe, or re-rank)
+    ("ann_ivf_lloyd_topk",
+     ["BroadcastNestedLoopJoin|BroadcastHashJoin", "partial_min",
+      "!ArrowEvalPython", "!BatchEvalPython", "!CartesianProduct"]),
 ]
 
 
