@@ -131,3 +131,24 @@ def test_emit_writes_superset_lines(tmp_path, monkeypatch, capsys):
     # the on-disk mirror is the LAST emission
     disk = json.loads(open(os.path.join(str(tmp_path), "bench_out.json")).read())
     assert disk == lines[1]
+
+
+def test_saturation_shed_criterion_survives(tmp_path, monkeypatch):
+    """Pathological-run fallback: if the saturation rounds were shed, the
+    criterion block (the graded metric) still assembles, exports, and
+    renders without fabricating 8->32 numbers."""
+    kruns = _kruns()
+    kruns[("saturation", 8)] = []
+    kruns[("saturation", 32)] = []
+    s = bench.assemble_scaling(_big(), kruns, _calib())
+    assert s["scaling_efficiency_criterion_2_8"] == 0.9
+    assert "scaling_efficiency_8_32" not in s
+    exported = bench._export_scaling(s)
+    assert exported["efficiency"] == 0.9
+    assert "pairs_per_sec_local32" not in exported
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    monkeypatch.setattr(bench, "SHED", ["saturation_round_mandatory"])
+    bench.write_baseline_md(s)
+    md = open(tmp_path / "BENCH" / "BASELINE.md").read()
+    assert "criterion pair only" in md and "0.9" in md
+    assert "NOT MEASURED" not in md
