@@ -123,3 +123,54 @@ def test_delta_state_store_compaction(spark, tmp_path):
     # appends continue after compaction
     store.append(spark.createDataFrame([("d", "c4")], store.schema), 3)
     assert {r["url"] for r in store.read().collect()} == {"a", "b", "c", "d"}
+
+
+def test_numpy_lang_classifier_real_trained_tier():
+    """The r6 medium tier is a REAL learned model (hashed char-n-gram
+    softmax regression, pure numpy): training is deterministic (zero-init,
+    no RNG), holdout accuracy is high, and it generalizes to words outside
+    the training vocabulary via character n-grams."""
+    import numpy as np
+
+    from fia_own_map_spark.operators.ml import NumpyLangClassifier, synth_lang_corpus
+
+    tx, lb = synth_lang_corpus(n_per_lang=150, seed=7)
+    hx, hl = synth_lang_corpus(n_per_lang=60, seed=99)
+    c1 = NumpyLangClassifier().fit(tx, lb)
+    c2 = NumpyLangClassifier().fit(tx, lb)
+    assert np.array_equal(c1.W, c2.W) and np.array_equal(c1.b, c2.b)
+    acc = sum(p == y for p, y in zip(c1.predict(hx), hl)) / len(hl)
+    assert acc >= 0.95
+    # out-of-vocabulary content words; the function-word n-grams carry it
+    assert c1.predict([
+        "der hund ist nicht mit der katze",
+        "the cat and the dog are here",
+        "le chat est sur la table",
+        "el perro y el gato en la casa",
+    ]) == ["de", "en", "fr", "es"]
+
+
+def test_cascade_with_numpy_medium_tier(spark):
+    """cascade_classify with the real numpy model as the medium tier: rows
+    the fast stopword tier gets wrong escalate and come back tier='medium'
+    with the model's prediction."""
+    import pandas as pd
+
+    from fia_own_map_spark.operators.ml import MediumLangNumpy, cascade_classify
+
+    rows = pd.DataFrame({
+        "doc_id": range(4),
+        "text": [
+            "the cat and the dog are here",      # fast tier: en (agrees)
+            "der hund ist nicht mit der katze",  # fast: de (agrees)
+            "chat table maison voiture",         # fast: und -> escalates
+            "perro gato casa coche",             # fast: und -> escalates
+        ],
+        "lang": ["en", "de", "fr", "es"],
+    })
+    out = cascade_classify(
+        spark.createDataFrame(rows), medium_factory=MediumLangNumpy
+    ).toPandas().sort_values("doc_id")
+    assert list(out["tier"]) == ["fast", "fast", "medium", "medium"]
+    assert list(out["pred"]) == ["en", "de", "fr", "es"]
+    assert out["verified"].all()
