@@ -450,3 +450,188 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-SPAN detection / removal (substring-level dedup)
+#
+# Document-level dedup (the families above) keeps or drops whole documents;
+# training corpora also carry *partial* duplication — boilerplate headers,
+# license blocks, quoted passages — that survives document-level passes.
+# The published recipe (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better") finds substrings of >= L tokens that appear more
+# than once in the corpus with a suffix array and removes every occurrence.
+# A suffix array is a single-machine construction; the distributed
+# re-expression used here is the standard shingle approximation:
+#
+#   every k-token shingle occurring >= min_count times in the corpus marks
+#   its k positions duplicated; merging overlapping/adjacent marked
+#   [pos, pos+k) windows per document recovers the maximal duplicated
+#   spans of length >= k.
+#
+# Scale design: one shuffle on the 64-bit shingle hash (map-side partial
+# count; the hash keeps shuffle rows at 8 bytes/key instead of raw k-gram
+# strings), one AQE-skew-splittable semi join back to positions, and one
+# bounded per-document groupBy (positions per doc <= tokens per doc) whose
+# interval merge runs as a native Catalyst fold — no window over an
+# unbounded-cardinality key, no crossJoin, no Python in the hot path.
+# `stride` subsamples shingle START positions for corpora where even the
+# occurrence table is too large (recall trades away; counts stay exact for
+# the emitted shingles).
+# ---------------------------------------------------------------------------
+def _positioned_shingles(text_col: Column | str, k: int) -> Column:
+    """Array of k-token shingles where index i covers tokens [i, i+k);
+    NULL when the document has fewer than k tokens."""
+    toks = F.split(normalized_text(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - F.lit(k))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
+    )
+
+
+def _merged_spans(starts: Column, k: int) -> Column:
+    """Fold sorted start positions into merged [s, e) token spans."""
+    empty = F.expr("cast(array() as array<struct<s:int,e:int>>)")
+
+    def step(acc: Column, p: Column) -> Column:
+        last = F.element_at(acc, -1)
+        extended = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.struct(
+                last["s"].alias("s"),
+                F.greatest(last["e"], p + F.lit(k)).alias("e"),
+            )),
+        )
+        appended = F.concat(
+            acc, F.array(F.struct(p.alias("s"), (p + F.lit(k)).alias("e")))
+        )
+        return F.when(
+            (F.size(acc) > 0) & (p <= last["e"]), extended
+        ).otherwise(appended)
+
+    return F.aggregate(starts, empty, step)
+
+
+def _duplicated_positions(
+    df: DataFrame, id_col: str, text_col: str, k: int, min_count: int,
+    stride: int, hash_shingles: bool,
+) -> DataFrame:
+    """(id, pos) of every shingle start whose shingle repeats in the corpus."""
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode(_positioned_shingles(text_col, k)).alias("pos", "shingle"),
+    )
+    if stride > 1:
+        occ = occ.filter(F.col("pos") % stride == 0)
+    key = (F.xxhash64("shingle") if hash_shingles else F.col("shingle")).alias("_sk")
+    occ = occ.select(id_col, "pos", key)
+    dup_keys = (
+        occ.groupBy("_sk").agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("_sk")
+    )
+    return occ.join(dup_keys, "_sk", "left_semi").select(id_col, "pos")
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    stride: int = 1,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """(id, span_start, span_end) — merged maximal duplicated token spans
+    (0-based, end-exclusive) per document; only documents with spans."""
+    hits = _duplicated_positions(
+        df, id_col, text_col, k, min_count, stride, hash_shingles
+    )
+    merged = hits.groupBy(id_col).agg(
+        _merged_spans(F.sort_array(F.collect_list("pos")), k).alias("spans")
+    )
+    sp = F.explode("spans")
+    return merged.select(F.col(id_col), sp.alias("sp")).select(
+        id_col,
+        F.col("sp.s").alias("span_start"),
+        F.col("sp.e").alias("span_end"),
+    )
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+    stride: int = 1,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Per-document duplication accounting over ALL documents:
+    (id, n_tokens, dup_tokens, n_spans, dup_frac[6dp]); zero rows for clean
+    documents so corpus-level loss of a removal pass can be budgeted
+    before running it."""
+    hits = _duplicated_positions(
+        df, id_col, text_col, k, min_count, stride, hash_shingles
+    )
+    per_doc = hits.groupBy(id_col).agg(
+        _merged_spans(F.sort_array(F.collect_list("pos")), k).alias("spans")
+    ).select(
+        id_col,
+        F.aggregate(
+            "spans", F.lit(0), lambda a, sp: a + sp["e"] - sp["s"]
+        ).alias("dup_tokens"),
+        F.size("spans").alias("n_spans"),
+    )
+    text = F.col(text_col)
+    n_tokens = F.when(text.isNull(), F.lit(0)).otherwise(
+        F.size(F.split(normalized_text(text_col), " "))
+    )
+    base = df.select(F.col(id_col), n_tokens.alias("n_tokens"))
+    joined = base.join(per_doc, id_col, "left")
+    dup = F.coalesce("dup_tokens", F.lit(0))
+    return joined.select(
+        id_col,
+        "n_tokens",
+        dup.alias("dup_tokens"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.round(
+            F.when(F.col("n_tokens") > 0, dup / F.col("n_tokens"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    k: int = 8,
+    min_count: int = 2,
+    stride: int = 1,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """All input columns + out_col = the normalized text with every
+    duplicated span's tokens removed (the Lee-et-al removal step: ALL
+    occurrences drop, so one copy should be re-added downstream if the
+    content itself must survive — the stats op is the budget check)."""
+    hits = _duplicated_positions(
+        df, id_col, text_col, k, min_count, stride, hash_shingles
+    )
+    merged = hits.groupBy(id_col).agg(
+        _merged_spans(F.sort_array(F.collect_list("pos")), k).alias("spans")
+    )
+    toks = F.split(normalized_text(text_col), " ")
+    covered = lambda i: F.exists(  # noqa: E731 — inline predicate
+        "spans", lambda sp: (i >= sp["s"]) & (i < sp["e"])
+    )
+    kept = F.filter(toks, lambda t, i: ~covered(i))
+    clean = F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(F.col("spans").isNull(), F.array_join(toks, " "))
+        .otherwise(F.array_join(kept, " "))
+    )
+    return df.join(merged, id_col, "left").withColumn(out_col, clean).drop("spans")
