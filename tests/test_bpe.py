@@ -1,0 +1,102 @@
+"""Trained BPE subword tokenizer — distributed trainer vs clean-room mirror.
+
+train_bpe iterates over the DISTINCT-WORD table (one shuffle + a one-row
+collect per merge); bpe_train_py is the single-machine mirror with the same
+normalization, greedy-leftmost pass, and (count desc, pair asc) tie-break.
+The tests assert IDENTICAL merge lists and tokenizations, on a hand corpus
+and on the sf0.001 documents table.
+"""
+import re
+
+import pytest
+
+from fia_own_map_spark.operators.bpe import (
+    END,
+    bpe_token_count,
+    bpe_tokens,
+    bpe_train_py,
+    bpe_word_py,
+    train_bpe,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_doc_tokens(t: str, merges) -> list[str]:
+    out = []
+    for w in re.sub(r"\s+", " ", t.lower().strip()).split(" "):
+        if w:
+            out.extend(bpe_word_py(w, merges))
+    return out
+
+
+def test_bpe_train_hand_corpus_parity(spark):
+    texts = ["the cat sat on the mat", "the cats sat", "a mat on the cat",
+             None, "  the   the  "]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    m_spark = train_bpe(df, n_merges=12)
+    m_py = bpe_train_py(texts, n_merges=12)
+    assert m_spark == m_py
+    assert len(m_spark) > 0
+    # the most frequent word fuses to a single subword under its own merges
+    assert bpe_word_py("the", m_spark) == ["the" + END]
+
+
+def test_bpe_apply_matches_trainer_end_state(spark):
+    """Applying the learned merges in training order reproduces whole-word
+    fusions for frequent training words and splits unseen words into
+    learned subwords."""
+    texts = ["low lower lowest", "low lower", "low new newer"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = train_bpe(df, n_merges=20, min_pair_count=2)
+    assert merges == bpe_train_py(texts, n_merges=20, min_pair_count=2)
+    got = {r["doc_id"]: r["toks"] for r in df.select(
+        "doc_id", bpe_tokens("text", merges).alias("toks")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _py_doc_tokens(t, merges)
+
+
+def test_bpe_sf001_corpus_parity(spark):
+    """Corpus-scale check on the sf0.001 documents table: the distributed
+    trainer's merge list equals the mirror's, and the Arrow-batched
+    tokenizer equals the mirror tokenization on every document."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = train_bpe(docs, n_merges=25)
+    texts = [r["text"] for r in docs.select("text").collect()]
+    assert merges == bpe_train_py(texts, n_merges=25)
+    assert len(merges) == 25  # corpus is rich enough to sustain 25 merges
+
+    got = {r["doc_id"]: (r["toks"], r["n"]) for r in docs.select(
+        "doc_id",
+        bpe_tokens("text", merges).alias("toks"),
+        bpe_token_count("text", merges).alias("n"),
+    ).collect()}
+    by_id = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(got) == 500
+    for doc_id, text in by_id.items():
+        toks, n = got[doc_id]
+        if text is None:
+            assert toks is None
+            continue
+        want = _py_doc_tokens(text, merges)
+        assert toks == want
+        assert n == len(want)
+
+
+def test_bpe_deterministic_tiebreak(spark):
+    """Equal-count pairs resolve by (a asc, b asc) in both engines —
+    the property that makes the trained table reproducible."""
+    # four single-char words, so (p,</w>), (q,</w>), (x,</w>), (y,</w>)
+    # all tie at count 2
+    texts = ["x y", "x y", "p q", "p q"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    m_spark = train_bpe(df, n_merges=2)
+    m_py = bpe_train_py(texts, n_merges=2)
+    assert m_spark == m_py
+    assert m_spark[0][0] <= m_spark[1][0]  # lexicographically-first pair won
