@@ -100,3 +100,38 @@ def test_bpe_deterministic_tiebreak(spark):
     m_py = bpe_train_py(texts, n_merges=2)
     assert m_spark == m_py
     assert m_spark[0][0] <= m_spark[1][0]  # lexicographically-first pair won
+
+
+# ---------------------------------------------------------------------------
+# pure-python property tests (no Spark session — hypothesis over the mirror)
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.text(alphabet="abcde", min_size=1, max_size=12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_words, min_size=1, max_size=30), st.integers(0, 40))
+def test_bpe_lossless_and_monotone(words, n_merges):
+    """Invariants of the apply path under any trained table: (1) subwords
+    concatenate back to the exact word + end marker (tokenization is
+    lossless), (2) every subword is in the closure of chars + learned
+    merges, (3) more merges never increases the token count of any word."""
+    corpus = [" ".join(words)]
+    merges = bpe_train_py(corpus, n_merges=n_merges, min_pair_count=2)
+    vocab = set("abcde") | {END}
+    for a, b in merges:
+        vocab.add(a + b)
+    prev_counts = None
+    for upto in range(len(merges) + 1):
+        counts = {}
+        for w in words:
+            toks = bpe_word_py(w, merges[:upto])
+            assert "".join(toks) == w + END
+            assert all(t in vocab for t in toks)
+            counts[w] = min(counts.get(w, 1 << 30), len(toks))
+        if prev_counts is not None:
+            for w in words:
+                assert counts[w] <= prev_counts[w]
+        prev_counts = counts
