@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
-from fia_own_map_spark.operators.dedup import normalized_text
+from fia_own_map_spark.operators.dedup import normalized_text, normalized_words_py
 
 END = "</w>"  # end-of-word marker symbol (standard BPE)
 
@@ -173,16 +173,14 @@ def bpe_train_py(
     texts: list[str], n_merges: int = 50, min_pair_count: int = 2
 ) -> list[tuple[str, str]]:
     """Clean-room single-machine trainer mirroring train_bpe exactly
-    (same normalization, same greedy-leftmost merge, same tie-break)."""
-    import re
-
+    (same normalization — via the shared JVM-semantics word splitter —
+    same greedy-leftmost merge, same tie-break)."""
     vocab: Counter = Counter()
     for t in texts:
         if t is None:
             continue
-        for w in re.sub(r"\s+", " ", t.lower().strip()).split(" "):
-            if w:
-                vocab[w] += 1
+        for w in normalized_words_py(t):
+            vocab[w] += 1
     words = {w: list(w) + [END] for w in vocab}
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -220,17 +218,13 @@ def bpe_tokens(text_col: Column | str, merges: list[tuple[str, str]]) -> Column:
 
     @pandas_udf(ArrayType(StringType()))
     def _apply(texts: pd.Series) -> pd.Series:
-        import re
-
         cache: dict[str, list[str]] = {}
 
         def doc(t):
             if t is None:
                 return None
             out: list[str] = []
-            for w in re.sub(r"\s+", " ", t.lower().strip()).split(" "):
-                if not w:
-                    continue
+            for w in normalized_words_py(t):
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = bpe_word_py(w, mlist)
@@ -243,6 +237,16 @@ def bpe_tokens(text_col: Column | str, merges: list[tuple[str, str]]) -> Column:
     return _apply(c)
 
 
-def bpe_token_count(text_col: Column | str, merges: list[tuple[str, str]]) -> Column:
-    """Subword token count under the learned merge table."""
-    return F.size(bpe_tokens(text_col, merges))
+def bpe_token_count(
+    col: Column | str, merges: list[tuple[str, str]] | None = None
+) -> Column:
+    """Subword token count. Pass an ALREADY-TOKENIZED column (from
+    bpe_tokens) whenever tokens are also selected — each bpe_tokens call
+    creates an independent UDF Catalyst cannot dedupe, so counting from
+    raw text next to a tokens column would run the whole BPE apply twice.
+    With `merges` given, applies them to the raw text column instead
+    (count-only callers)."""
+    if merges is None:
+        c = F.col(col) if isinstance(col, str) else col
+        return F.size(c)
+    return F.size(bpe_tokens(col, merges))

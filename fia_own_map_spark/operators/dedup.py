@@ -20,6 +20,8 @@ a bucket explodes); verification joins are equi-joins AQE can skew-split.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -52,6 +54,19 @@ def normalized_text(col: Column | str) -> Column:
     """Whitespace/case-normalized view of the text for content hashing."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+_JAVA_WS = re.compile("[ \t\n\x0b\x0c\r]+")
+
+
+def normalized_words_py(text: str) -> list[str]:
+    """Python mirror of normalized_text + split-into-words, with JVM
+    semantics: Java's regex \\s is ASCII-only ([ \\t\\n\\x0B\\f\\r]), so
+    NBSP / U+2028 etc. are NOT word separators (python's unicode-aware
+    re \\s silently diverges — keep every python-side consumer on this
+    helper), and F.trim strips the space character only."""
+    t = _JAVA_WS.sub(" ", text.lower().strip(" "))
+    return [w for w in t.split(" ") if w]
 
 
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

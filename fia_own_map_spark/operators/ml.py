@@ -122,6 +122,20 @@ def train_residual_classifier(
 _CASCADE_SINGLETONS: dict[str, object] = {}
 
 
+def _factory_key(tier: str, factory) -> str:
+    """Cache key that includes WHICH factory built the model: a reused
+    python worker outlives one cascade_classify call, so keying on the tier
+    alone served a stale model when a later call passed a different factory
+    (observed as order-dependent test failures). Factories may self-identify
+    via a `cache_key` attribute (e.g. a weights digest) when two instances
+    of the same class carry different models."""
+    ident = getattr(factory, "cache_key", None) or (
+        f"{getattr(factory, '__module__', '?')}."
+        f"{getattr(factory, '__qualname__', type(factory).__name__)}"
+    )
+    return f"{tier}:{ident}"
+
+
 def _singleton(key: str, factory):
     model = _CASCADE_SINGLETONS.get(key)
     if model is None:
@@ -277,14 +291,51 @@ class NumpyLangClassifier:
 class MediumLangNumpy:
     """Cascade medium-tier factory backed by the real numpy model; training
     is deterministic, so each executor's singleton holds identical weights
-    (the per-process materialize-once pattern the ONNX tier would use)."""
+    (the per-process materialize-once pattern the ONNX tier would use).
+    The trained model is cached at class level so a python process pays the
+    200-epoch fit at most once, whatever re-instantiates the factory — but
+    each worker process still trains its own copy; for production-shaped
+    jobs prefer `shipped_medium_factory()`, which trains ONCE on the driver
+    and ships the weights (the ONNX-file analogue)."""
+
+    _shared: NumpyLangClassifier | None = None
 
     def __init__(self):
-        texts, labels = synth_lang_corpus()
-        self._clf = NumpyLangClassifier().fit(texts, labels)
+        if MediumLangNumpy._shared is None:
+            texts, labels = synth_lang_corpus()
+            MediumLangNumpy._shared = NumpyLangClassifier().fit(texts, labels)
+        self._clf = MediumLangNumpy._shared
 
     def classify_batch(self, texts: pd.Series) -> pd.Series:
         return self._clf.classify_batch(texts)
+
+
+class ShippedModel:
+    """Factory-and-model in one: built on the DRIVER around already-trained
+    weights, cloudpickled to workers, where calling it as a factory returns
+    itself — no worker ever trains. `cache_key` digests the weights so two
+    shipped models never collide in the per-process singleton cache."""
+
+    def __init__(self, clf: NumpyLangClassifier):
+        import hashlib
+
+        self._clf = clf
+        self.cache_key = "shipped:" + hashlib.md5(
+            clf.W.tobytes() + clf.b.tobytes()
+        ).hexdigest()
+
+    def __call__(self) -> "ShippedModel":
+        return self
+
+    def classify_batch(self, texts: pd.Series) -> pd.Series:
+        return self._clf.classify_batch(texts)
+
+
+def shipped_medium_factory() -> ShippedModel:
+    """Train the numpy language model once (driver-side) and wrap it for
+    shipment; pass the result as cascade_classify(medium_factory=...)."""
+    texts, labels = synth_lang_corpus()
+    return ShippedModel(NumpyLangClassifier().fit(texts, labels))
 
 
 def cascade_classify(
@@ -301,7 +352,7 @@ def cascade_classify(
     )
 
     def run(batches):
-        fast = _singleton("cascade_fast", fast_factory)
+        fast = _singleton(_factory_key("cascade_fast", fast_factory), fast_factory)
         medium = None
         for pdf in batches:
             res = pd.DataFrame(
@@ -313,7 +364,10 @@ def cascade_classify(
             fail = ~ok
             if fail.any():
                 if medium is None:  # lazy: only pay for the big model on escalation
-                    medium = _singleton("cascade_medium", medium_factory)
+                    medium = _singleton(
+                        _factory_key("cascade_medium", medium_factory),
+                        medium_factory,
+                    )
                 mp = medium.classify_batch(pdf.loc[fail, text_col])
                 res.loc[fail, "pred"] = mp
                 res.loc[fail, "verified"] = mp.eq(pdf.loc[fail, provided_col])

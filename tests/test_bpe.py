@@ -6,10 +6,9 @@ normalization, greedy-leftmost pass, and (count desc, pair asc) tie-break.
 The tests assert IDENTICAL merge lists and tokenizations, on a hand corpus
 and on the sf0.001 documents table.
 """
-import re
-
 import pytest
 
+from fia_own_map_spark.operators.dedup import normalized_words_py
 from fia_own_map_spark.operators.bpe import (
     END,
     bpe_token_count,
@@ -24,9 +23,8 @@ SF = "/root/testdata/sf0.001"
 
 def _py_doc_tokens(t: str, merges) -> list[str]:
     out = []
-    for w in re.sub(r"\s+", " ", t.lower().strip()).split(" "):
-        if w:
-            out.extend(bpe_word_py(w, merges))
+    for w in normalized_words_py(t):
+        out.extend(bpe_word_py(w, merges))
     return out
 
 
@@ -70,11 +68,12 @@ def test_bpe_sf001_corpus_parity(spark):
     assert merges == bpe_train_py(texts, n_merges=25)
     assert len(merges) == 25  # corpus is rich enough to sustain 25 merges
 
+    # tokenize ONCE and count from the tokens column (the documented
+    # pattern: a second bpe_tokens call would be an independent UDF that
+    # re-runs the whole apply)
     got = {r["doc_id"]: (r["toks"], r["n"]) for r in docs.select(
-        "doc_id",
-        bpe_tokens("text", merges).alias("toks"),
-        bpe_token_count("text", merges).alias("n"),
-    ).collect()}
+        "doc_id", bpe_tokens("text", merges).alias("toks")
+    ).withColumn("n", bpe_token_count("toks")).collect()}
     by_id = {r["doc_id"]: r["text"] for r in docs.collect()}
     assert len(got) == 500
     for doc_id, text in by_id.items():
@@ -100,6 +99,23 @@ def test_bpe_deterministic_tiebreak(spark):
     m_py = bpe_train_py(texts, n_merges=2)
     assert m_spark == m_py
     assert m_spark[0][0] <= m_spark[1][0]  # lexicographically-first pair won
+
+
+def test_bpe_unicode_whitespace_parity(spark):
+    """NBSP and line-separator are NOT word breaks on the JVM (Java \\s is
+    ASCII-only); the python mirror and the apply UDF must agree — this was
+    a live divergence when the python side used unicode-aware re \\s."""
+    texts = ["foo bar baz", "foo bar qux", "a b a b"]
+    assert normalized_words_py(texts[0]) == ["foo bar", "baz"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = train_bpe(df, n_merges=6)
+    assert merges == bpe_train_py(texts, n_merges=6)
+    got = {r["doc_id"]: r["toks"] for r in df.select(
+        "doc_id", bpe_tokens("text", merges).alias("toks")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _py_doc_tokens(t, merges)
 
 
 # ---------------------------------------------------------------------------

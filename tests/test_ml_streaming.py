@@ -174,3 +174,48 @@ def test_cascade_with_numpy_medium_tier(spark):
     assert list(out["tier"]) == ["fast", "fast", "medium", "medium"]
     assert list(out["pred"]) == ["en", "de", "fr", "es"]
     assert out["verified"].all()
+
+
+def test_cascade_singleton_keyed_by_factory():
+    """Regression: a reused python worker must not serve a model built by a
+    DIFFERENT factory — the singleton cache keys on factory identity (and on
+    a weights digest for shipped models)."""
+    from fia_own_map_spark.operators.ml import (
+        MediumLangNumpy,
+        MediumLangStub,
+        _factory_key,
+        _singleton,
+        shipped_medium_factory,
+    )
+
+    k_stub = _factory_key("cascade_medium", MediumLangStub)
+    k_numpy = _factory_key("cascade_medium", MediumLangNumpy)
+    assert k_stub != k_numpy
+    assert type(_singleton(k_stub, MediumLangStub)) is MediumLangStub
+    assert type(_singleton(k_numpy, MediumLangNumpy)) is MediumLangNumpy
+
+    shipped = shipped_medium_factory()
+    k_shipped = _factory_key("cascade_medium", shipped)
+    assert k_shipped.startswith("cascade_medium:shipped:")
+    assert k_shipped not in (k_stub, k_numpy)
+    assert _singleton(k_shipped, shipped) is shipped  # factory returns itself
+
+
+def test_cascade_with_shipped_driver_trained_model(spark):
+    """Driver-trained weights shipped to workers (the ONNX-file analogue):
+    no worker trains, escalated rows still come back correct."""
+    import pandas as pd
+
+    from fia_own_map_spark.operators.ml import cascade_classify, shipped_medium_factory
+
+    rows = pd.DataFrame({
+        "doc_id": range(2),
+        "text": ["chat table maison voiture", "perro gato casa coche"],
+        "lang": ["fr", "es"],
+    })
+    out = cascade_classify(
+        spark.createDataFrame(rows), medium_factory=shipped_medium_factory()
+    ).toPandas().sort_values("doc_id")
+    assert list(out["tier"]) == ["medium", "medium"]
+    assert list(out["pred"]) == ["fr", "es"]
+    assert out["verified"].all()
