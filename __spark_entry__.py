@@ -280,6 +280,50 @@ def q_dedup_ngram_jaccard(spark, sf):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_span_dedup_stats(spark, sf):
+    """Substring-span duplication accounting (Lee et al. 2022 detect+budget
+    step): per-doc merged duplicated k-gram spans over the whole corpus.
+    Production path (8-byte xxhash64 shingle keys, one shuffle + semi join +
+    Catalyst-fold interval merge); the oracle groups on the shingle STRING —
+    identical result absent a 64-bit collision within the contract corpus."""
+    return dedup.span_dedup_stats(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+def q_corpus_clean_tags(spark, sf):
+    """The composed training-corpus cleaning pipeline (exact dedup -> span
+    removal -> quality -> language), one lazy plan, per-doc outcome tag.
+    clean_md5 value-checks the span-removed text end-to-end."""
+    from fia_own_map_spark.operators.corpus import tag_corpus
+
+    tagged = tag_corpus(_t(spark, sf, "documents"))
+    return tagged.select(
+        "doc_id",
+        "drop_stage",
+        "n_tokens_clean",
+        F.md5("clean_text").alias("clean_md5"),
+        "quality_score",
+        "lang_pred",
+    ).orderBy("doc_id")
+
+
+def q_bpe_token_counts(spark, sf):
+    """BPE trained IN-QUERY on the given corpus (distributed merge loop over
+    the distinct-word table), then applied for per-doc subword counts. The
+    oracle re-trains in pure SQL: every merge iteration unrolled as
+    MATERIALIZED CTEs (pair count -> argmax -> greedy-leftmost fold via
+    list_reduce), same discipline as the Lloyd-IVF oracle."""
+    from fia_own_map_spark.operators.bpe import bpe_tokens, train_bpe
+
+    d = _t(spark, sf, "documents")
+    merges = train_bpe(d, n_merges=50)
+    return d.select(
+        "doc_id",
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(bpe_tokens("text", merges)))
+        .alias("n_subwords"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # text-analysis queries
 # ---------------------------------------------------------------------------
@@ -959,7 +1003,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_cluster_fingerprint": q_er_cluster_fingerprint,
         "er_score_pairs": q_er_score_pairs,
         # dedup family
-        "dedup_exact_groups": q_dedup_exact_groups,
+        # dedup_exact_groups left the 50-query contract in r7: subsumed by
+        # dedup_exact_keep (same md5 group/min-id machinery) AND by the
+        # corpus_clean_tags chain whose first stage re-checks it; still
+        # value-checked in pytest (test_retired_contract.py)
         "dedup_exact_keep": q_dedup_exact_keep,
         # dedup_minhash_pairs (md5 family) left the 50-query contract in r6:
         # redundant next to the value-checked xxhash64 row; still oracle-
@@ -968,6 +1015,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,    # FNV-in-SQL oracle (r5)
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "span_dedup_stats": q_span_dedup_stats,          # gaps-and-islands SQL oracle (r7)
+        "corpus_clean_tags": q_corpus_clean_tags,        # full-chain SQL oracle (r7)
+        "bpe_token_counts": q_bpe_token_counts,          # training-unrolled SQL oracle (r7)
         # text analysis
         "ml_cascade_lang": q_ml_cascade_lang,
         "text_lang_id": q_text_lang_id,
@@ -983,7 +1033,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_rollup": q_url_domain_rollup,
         # ANN
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,                  # seeded-plane SQL oracle (r5)
+        # ann_lsh_topk (single-table) left the contract in r7: strictly a
+        # special case of the multi-table row below; pytest-checked in
+        # test_retired_contract.py
         "ann_lsh_multi_topk": q_ann_lsh_multi_topk,      # seeded-plane SQL oracle (r5)
         "ann_ivf_topk": q_ann_ivf_topk,                  # seeded-quantizer SQL oracle (r6)
         "ann_ivf_lloyd_topk": q_ann_ivf_lloyd_topk,      # TRAINED integer-Lloyd SQL oracle (r6)
@@ -1004,7 +1056,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": q_set_ops_customers,
         "case_recode_events": q_case_recode_events,
         "events_hourly": q_events_hourly,
-        "window_sum_value_per_user": q_window_sum_value_per_user,
+        # window_sum_value_per_user left the contract in r7: same W1/A5
+        # bounded-key window idiom as window_orders_per_customer (kept);
+        # pytest-checked in test_retired_contract.py
         "sessionize_events": q_sessionize_events,
         "asof_last_click": q_asof_last_click,
         "range_clicks_before_purchase": q_range_clicks_before_purchase,
@@ -1648,13 +1702,8 @@ def oracle_sql() -> dict[str, str]:
                                                               string_split(b.name,' ')))) END, 6) AS jaccard
             FROM named a JOIN named b ON b.doc_id = a.doc_id + 1
         """,
-        "dedup_exact_groups": """
-            SELECT doc_id,
-                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
-                   min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
-                       AS canonical_id
-            FROM documents
-        """,
+        # (dedup_exact_groups oracle moved to retired_oracle_sql(),
+        # pytest-checked — r7 contract slot freed for span_dedup_stats)
         "dedup_exact_keep": """
             SELECT doc_id, text FROM (
               SELECT doc_id, text,
@@ -1665,6 +1714,9 @@ def oracle_sql() -> dict[str, str]:
         # (dedup_minhash_pairs md5-family oracle moved to the module-level
         # MINHASH_MD5_ORACLE_SQL, pytest-checked — r6 contract slot freed
         # for the trained-quantizer IVF row)
+        "span_dedup_stats": _span_stats_sql(),
+        "corpus_clean_tags": _corpus_tags_sql(),
+        "bpe_token_counts": _bpe_oracle_sql(n_merges=50),
         # FNV-1a 64 reproduced in pure SQL (r4 verdict stretch #8): token
         # bytes via hex(encode(t)) nibble lookup, the xor-multiply fold as a
         # list_reduce in HUGEINT with an explicit mod-2^64 wrap (64x40-bit
@@ -1836,7 +1888,8 @@ def oracle_sql() -> dict[str, str]:
         # sign-LSH ANN: planes are seeded literals, folds mirror Spark's
         # sequential F.aggregate exactly (see _lsh_oracle_sql) — value-checked
         # as of r5 (was rows-only)
-        "ann_lsh_topk": _lsh_oracle_sql(n_planes=6, n_tables=1),
+        # (ann_lsh_topk oracle moved to retired_oracle_sql(), pytest-checked
+        # — r7 contract slot freed for corpus_clean_tags)
         "ann_lsh_multi_topk": _lsh_oracle_sql(n_planes=8, n_tables=7),
         # IVF: deterministic sampled quantizer in the contract query (the
         # KMeans fit is the production variant, same probe/re-rank path) —
@@ -1946,12 +1999,8 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
-        "window_sum_value_per_user": """
-            SELECT event_id, user_id,
-                   round(sum(value) OVER (PARTITION BY user_id), 4) AS user_total_value,
-                   count(*) OVER (PARTITION BY user_id) AS user_n_events
-            FROM events
-        """,
+        # (window_sum_value_per_user oracle moved to retired_oracle_sql(),
+        # pytest-checked — r7 contract slot freed for bpe_token_counts)
         "range_clicks_before_purchase": """
             WITH p AS (SELECT event_id, user_id, epoch(ts) - 3600 AS lo, epoch(ts) AS hi
                        FROM events WHERE event_type = 'purchase'),
@@ -2114,3 +2163,261 @@ def _quality_sql() -> str:
                                                ELSE 0.0 END) * 4)) * 0.3, 6) AS quality_score
         FROM f
     """
+
+
+# ---------------------------------------------------------------------------
+# r7 oracles: span dedup, corpus pipeline, BPE (training unrolled in SQL)
+# ---------------------------------------------------------------------------
+_NORM_WS_SQL = "regexp_replace(lower(trim({c})), '\\s+', ' ', 'g')"
+
+
+def _span_stats_sql(k: int = 8, min_count: int = 2) -> str:
+    """Gaps-and-islands mirror of dedup.span_dedup_stats: positioned k-gram
+    shingles -> corpus-count >= min_count -> per-doc interval merge (the
+    window reproduces the Catalyst fold's `pos <= last_end` extend rule).
+    Groups on the shingle STRING where Spark shuffles 8-byte xxhash64 keys —
+    identical absent a 64-bit collision in the contract corpus."""
+    norm = _NORM_WS_SQL.format(c="text")
+    return f"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id, text, string_split({norm}, ' ') AS t FROM documents),
+        occ AS MATERIALIZED (
+          SELECT doc_id, u.i - 1 AS pos, array_to_string(t[u.i : u.i + {k - 1}], ' ') AS sh
+          FROM toks, UNNEST(range(1, len(t) - {k - 2})) AS u(i)
+          WHERE len(t) >= {k}),
+        dups AS (SELECT sh FROM occ GROUP BY sh HAVING count(*) >= {min_count}),
+        hits AS (SELECT occ.doc_id, occ.pos FROM occ JOIN dups USING (sh)),
+        brk AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos <= COALESCE(MAX(pos) OVER w, -100000000) + {k}
+                      THEN 0 ELSE 1 END AS b
+          FROM hits
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        isl AS (SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                FROM brk),
+        spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + {k} AS e
+                  FROM isl GROUP BY doc_id, g),
+        perdoc AS (SELECT doc_id, SUM(e - s) AS dup_tokens, COUNT(*) AS n_spans
+                   FROM spans GROUP BY doc_id)
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN 0 ELSE len(t) END AS n_tokens,
+               CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+               ROUND(CASE WHEN d.text IS NOT NULL AND len(t) > 0
+                          THEN COALESCE(p.dup_tokens, 0)::DOUBLE / len(t)
+                          ELSE 0.0 END, 6) AS dup_frac
+        FROM toks d LEFT JOIN perdoc p USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
+def _lang_score_sql(col: str) -> dict[str, str]:
+    """Per-language stopword-hit expressions over an arbitrary column —
+    shared by the lang-ID oracle and the corpus-pipeline oracle."""
+    from fia_own_map_spark.operators.text import LANG_PROFILES
+
+    return {
+        lang: (
+            f"len(list_filter(string_split_regex(lower(trim({col})), '\\s+'),"
+            f" t -> list_contains({words!r}, t)))"
+        ).replace('"', "'")
+        for lang, words in LANG_PROFILES.items()
+    }
+
+
+def _corpus_tags_sql(
+    k: int = 8, min_count: int = 2, min_quality: float = 0.25
+) -> str:
+    """Full corpus.tag_corpus chain in SQL: md5 exact dedup -> span removal
+    on SURVIVORS (k-gram gaps-and-islands, kept tokens re-joined in order)
+    -> quality score + language ID over the cleaned text -> first-drop-stage
+    CASE. clean_md5 checks the reconstructed text byte-for-byte."""
+    from fia_own_map_spark.operators.text import LANG_PROFILES
+
+    norm = _NORM_WS_SQL.format(c="text")
+    en = repr(LANG_PROFILES["en"]).replace('"', "'")
+    scores = _lang_score_sql("clean_text")
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    lang_cases = " ".join(
+        f"WHEN {scores[lang]} = best AND best > 0 THEN '{lang}'"
+        for lang in sorted(scores)
+    )
+    return f"""
+        WITH hashed AS (
+          SELECT doc_id, text, md5({norm}) AS h FROM documents),
+        flags AS MATERIALIZED (
+          SELECT doc_id, text,
+                 doc_id <> min(doc_id) OVER (PARTITION BY h) AS is_dup
+          FROM hashed),
+        surv AS MATERIALIZED (
+          SELECT doc_id, text, string_split({norm}, ' ') AS t
+          FROM flags WHERE NOT is_dup),
+        occ AS MATERIALIZED (
+          SELECT doc_id, u.i - 1 AS pos, array_to_string(t[u.i : u.i + {k - 1}], ' ') AS sh
+          FROM surv, UNNEST(range(1, len(t) - {k - 2})) AS u(i)
+          WHERE len(t) >= {k}),
+        dups AS (SELECT sh FROM occ GROUP BY sh HAVING count(*) >= {min_count}),
+        hits AS (SELECT occ.doc_id, occ.pos FROM occ JOIN dups USING (sh)),
+        brk AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos <= COALESCE(MAX(pos) OVER w, -100000000) + {k}
+                      THEN 0 ELSE 1 END AS b
+          FROM hits
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        isl AS (SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                FROM brk),
+        spans AS MATERIALIZED (
+          SELECT doc_id, MIN(pos) AS s, MAX(pos) + {k} AS e FROM isl GROUP BY doc_id, g),
+        tokpos AS (
+          SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tok
+          FROM surv, UNNEST(range(1, len(t) + 1)) AS u(i)),
+        keptt AS (
+          SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+          WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                            WHERE sp.doc_id = tp.doc_id
+                              AND tp.pos >= sp.s AND tp.pos < sp.e)),
+        joined AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct
+          FROM keptt GROUP BY doc_id),
+        clean AS MATERIALIZED (
+          SELECT s.doc_id,
+                 CASE WHEN s.text IS NULL THEN NULL
+                      ELSE COALESCE(j.ct, '') END AS clean_text
+          FROM surv s LEFT JOIN joined j USING (doc_id)),
+        feat AS MATERIALIZED (
+          SELECT doc_id, clean_text,
+                 length(clean_text) AS n_chars,
+                 CASE WHEN length(trim(clean_text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(clean_text), '\\s+')) END AS n_tok,
+                 len(regexp_extract_all(clean_text, '[^\\w\\s]')) AS n_punct,
+                 len(list_filter(string_split_regex(lower(trim(clean_text)), '\\s+'),
+                                 t -> list_contains({en}, t))) AS stop_hits,
+                 {best} AS best
+          FROM clean),
+        scored AS MATERIALIZED (
+          SELECT doc_id, clean_text, n_tok,
+                 round(least(1.0, n_tok / 50.0) * 0.4
+                       + least(1.0, (CASE WHEN n_tok > 0
+                                          THEN stop_hits::DOUBLE / n_tok
+                                          ELSE 0.0 END) * 5) * 0.3
+                       + (1.0 - least(1.0, (CASE WHEN n_chars > 0
+                                                 THEN n_punct::DOUBLE / n_chars
+                                                 ELSE 0.0 END) * 4)) * 0.3,
+                       6) AS quality_score,
+                 CASE {lang_cases} ELSE 'und' END AS lang_pred
+          FROM feat)
+        SELECT doc_id,
+               CASE WHEN clean_text IS NULL OR length(trim(clean_text)) = 0 THEN 'empty'
+                    WHEN quality_score < {min_quality} THEN 'low_quality'
+                    WHEN lang_pred <> 'en' THEN 'lang'
+                    ELSE 'kept' END AS drop_stage,
+               CAST(CASE WHEN clean_text IS NULL THEN 0 ELSE n_tok END AS BIGINT)
+                   AS n_tokens_clean,
+               md5(clean_text) AS clean_md5,
+               quality_score, lang_pred
+        FROM scored
+        UNION ALL
+        SELECT doc_id, 'exact_dup' AS drop_stage, CAST(0 AS BIGINT) AS n_tokens_clean,
+               CAST(NULL AS VARCHAR) AS clean_md5, CAST(NULL AS DOUBLE) AS quality_score,
+               CAST(NULL AS VARCHAR) AS lang_pred
+        FROM flags WHERE is_dup
+        ORDER BY doc_id
+    """
+
+
+def _bpe_oracle_sql(n_merges: int = 50, min_pair_count: int = 2) -> str:
+    """BPE TRAINING re-derived in pure SQL, every merge iteration unrolled
+    as MATERIALIZED CTEs (the Lloyd-IVF unrolling discipline; MATERIALIZED
+    is load-bearing — each level references the previous twice, and DuckDB's
+    default CTE inlining would expand the chain 2^n_merges times):
+
+      pc_i : adjacent-pair counts over the distinct-word symbol table
+      m_i  : argmax pair (count DESC, then pair ASC — the trainer tie-break);
+             empty once no pair reaches min_pair_count, and stays empty, so
+             later levels are no-ops exactly like the trainer's break
+      w_i  : greedy-leftmost non-overlapping fold of that pair via
+             list_reduce over single-element lists (acc = symbols so far,
+             x = next symbol; merging consumes the pending tail so a fused
+             symbol never re-fuses within the pass — bpe.bpe_word_py)
+
+    Per-doc subword count then joins each document's words to the FINAL
+    symbol table: apply == trainer state for every in-corpus word (the
+    mirror-parity property tests pin this)."""
+    norm = _NORM_WS_SQL.format(c="text")
+    levels = []
+    for i in range(1, n_merges + 1):
+        levels.append(f"""
+        pc{i} AS MATERIALIZED (
+          SELECT w.syms[u.j] AS a, w.syms[u.j + 1] AS b, sum(w.cnt) AS total
+          FROM w{i - 1} w, UNNEST(range(1, len(w.syms))) AS u(j)
+          GROUP BY 1, 2),
+        m{i} AS MATERIALIZED (
+          SELECT a, b FROM pc{i} WHERE total >= {min_pair_count}
+          ORDER BY total DESC, a ASC, b ASC LIMIT 1),
+        w{i} AS MATERIALIZED (
+          SELECT w.word, w.cnt,
+            CASE WHEN m.a IS NULL THEN w.syms ELSE
+              list_reduce(
+                list_prepend(CAST([] AS VARCHAR[]), list_transform(w.syms, s -> [s])),
+                (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = m.a AND x[1] = m.b
+                                 THEN list_append(acc[1 : len(acc) - 1], m.a || m.b)
+                                 ELSE list_append(acc, x[1]) END)
+            END AS syms
+          FROM w{i - 1} w LEFT JOIN m{i} m ON true)""")
+    return f"""
+        WITH wt AS MATERIALIZED (
+          SELECT w AS word, count(*) AS cnt
+          FROM (SELECT unnest(string_split({norm}, ' ')) AS w
+                FROM documents WHERE text IS NOT NULL)
+          WHERE length(w) > 0 GROUP BY w),
+        w0 AS MATERIALIZED (
+          SELECT word, cnt,
+                 list_append(list_transform(range(1, length(word) + 1),
+                                            i -> word[i:i]), '</w>') AS syms
+          FROM wt),
+        {','.join(levels)},
+        subn AS (SELECT word, len(syms) AS n_sub FROM w{n_merges}),
+        docw AS (
+          SELECT doc_id, w AS word
+          FROM (SELECT doc_id, unnest(string_split({norm}, ' ')) AS w
+                FROM documents WHERE text IS NOT NULL)
+          WHERE length(w) > 0),
+        agg AS (
+          SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_subwords
+          FROM docw JOIN subn USING (word) GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(a.n_subwords, 0) AS n_subwords
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    """Oracles for queries that left the 50-slot driver contract (the driver
+    silently drops entries past 50). Still value-checked every pytest run
+    (tests/test_retired_contract.py) — retirement moves the check, it does
+    not drop it."""
+    return {
+        "dedup_exact_groups": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+                   min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+                       AS canonical_id
+            FROM documents
+        """,
+        "ann_lsh_topk": _lsh_oracle_sql(n_planes=6, n_tables=1),
+        "window_sum_value_per_user": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id), 4) AS user_total_value,
+                   count(*) OVER (PARTITION BY user_id) AS user_n_events
+            FROM events
+        """,
+    }
+
+
+RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "window_sum_value_per_user": q_window_sum_value_per_user,
+}
