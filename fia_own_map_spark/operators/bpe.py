@@ -117,21 +117,65 @@ def _merge_in_symbols(symbols: Column, a: str, b: str) -> Column:
     return F.aggregate(symbols, init, step, finish)
 
 
+def _has_adjacent(symbols: Column, a: str, b: str) -> Column:
+    """True when the ADJACENT pair (a, b) occurs in the symbol array."""
+    n = F.size(symbols)
+    return F.exists(
+        F.zip_with(
+            F.slice(symbols, 1, n - 1),
+            F.slice(symbols, 2, n - 1),
+            lambda x, y: (x == F.lit(a)) & (y == F.lit(b)),
+        ),
+        lambda v: v,
+    )
+
+
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint's cached blocks once its successor is
+    materialized (localCheckpoint never unpersists on its own — at a 32k-
+    merge production vocabulary the leaked iterations would exhaust the
+    block store). Best-effort: on any API drift the blocks just age out."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 50,
     min_pair_count: int = 2,
 ) -> list[tuple[str, str]]:
-    """Learn up to n_merges BPE merges from the corpus. Per iteration the
-    driver receives exactly ONE row (the argmax pair); the word table is
-    localCheckpointed eagerly so the per-merge fold doesn't stack lineage."""
+    """Learn up to n_merges BPE merges from the corpus.
+
+    Incremental design (the production-vocabulary path): the global pair
+    table is built ONCE, then maintained by DELTA — each merge recounts
+    only the words that actually contain the merged pair (the standard BPE
+    trainer optimization, re-expressed distributed):
+
+      * argmax is a TakeOrdered over the small checkpointed PAIR table
+        (driver receives one row), never a fresh corpus-wide explode;
+      * affected words are isolated with a native adjacent-pair predicate;
+        their pre-merge pairs enter the delta at -cnt and post-merge pairs
+        at +cnt in a single explode pass, so the updated table stays exact
+        (the merged pair itself annihilates to zero and drops out);
+      * the word table update folds ONLY affected rows (a lazy per-row
+        CASE guards the Catalyst fold), so per-iteration work after the
+        first merge is proportional to the affected slice, not the vocab;
+      * both states are localCheckpointed eagerly per iteration (lineage
+        stays flat) and the PREVIOUS iteration's blocks are released —
+        peak cache is two table versions, independent of merge count.
+
+    Same merge list as the full recount (tests pin trainer == single-
+    machine mirror): counts, tie-break (desc total, asc pair), and the
+    min_pair_count stop are unchanged."""
     tbl = word_symbol_table(df, text_col).localCheckpoint()
+    pc = _pair_counts(tbl).localCheckpoint()
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         top = (
-            _pair_counts(tbl)
-            .orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
+            pc.orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
             .limit(1)
             .collect()
         )
@@ -139,9 +183,51 @@ def train_bpe(
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
-        tbl = tbl.withColumn(
-            "symbols", _merge_in_symbols(F.col("symbols"), a, b)
+        has_pair = _has_adjacent(F.col("symbols"), a, b)
+        aff = tbl.filter(has_pair).withColumn(
+            "new_symbols", _merge_in_symbols(F.col("symbols"), a, b)
+        )
+
+        def pair_structs(col: str, w: Column) -> Column:
+            n = F.size(col)
+            return F.zip_with(
+                F.slice(col, 1, n - 1),
+                F.slice(col, 2, n - 1),
+                lambda x, y: F.struct(
+                    x.alias("a"), y.alias("b"), w.alias("w")
+                ),
+            )
+
+        delta = (
+            aff.select(
+                F.explode(
+                    F.concat(
+                        pair_structs("symbols", -F.col("cnt")),
+                        pair_structs("new_symbols", F.col("cnt")),
+                    )
+                ).alias("e")
+            )
+            .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+            .agg(F.sum("e.w").alias("total"))
+        )
+        new_pc = (
+            pc.unionByName(delta)
+            .groupBy("a", "b")
+            .agg(F.sum("total").alias("total"))
+            .filter(F.col("total") > 0)
+            .localCheckpoint()
+        )
+        new_tbl = tbl.withColumn(
+            "symbols",
+            F.when(
+                has_pair, _merge_in_symbols(F.col("symbols"), a, b)
+            ).otherwise(F.col("symbols")),
         ).localCheckpoint()
+        _release_checkpoint(pc)
+        _release_checkpoint(tbl)
+        pc, tbl = new_pc, new_tbl
+    _release_checkpoint(pc)
+    _release_checkpoint(tbl)
     return merges
 
 

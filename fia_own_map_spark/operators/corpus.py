@@ -40,9 +40,12 @@ def tag_corpus(
     min_quality: float = 0.25,
     lang_allow: tuple[str, ...] = ("en",),
 ) -> DataFrame:
-    """Every input row, tagged with its pipeline outcome. Columns: all
-    input columns + clean_text (span-removed normalized text), n_tokens
-    (post-clean whitespace count), quality_score, lang, drop_stage."""
+    """Every input row, tagged with its pipeline outcome. Emitted columns:
+    all input columns + clean_text (span-removed normalized text),
+    n_tokens_clean (post-clean whitespace count), quality_score, lang_pred,
+    drop_stage — plus quality_features' own diagnostics (n_tokens over
+    clean_text, punct/stopword ratios). Downstream selects should use
+    n_tokens_clean / lang_pred, not the quality-diagnostic n_tokens."""
     dups = exact_dup_groups(df, id_col, text_col).select(
         id_col, (F.col(id_col) != F.col("canonical_id")).alias("_is_dup")
     )

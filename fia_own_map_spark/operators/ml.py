@@ -122,21 +122,41 @@ def train_residual_classifier(
 _CASCADE_SINGLETONS: dict[str, object] = {}
 
 
-def _factory_key(tier: str, factory) -> str:
+def _factory_key(tier: str, factory) -> str | None:
     """Cache key that includes WHICH factory built the model: a reused
     python worker outlives one cascade_classify call, so keying on the tier
     alone served a stale model when a later call passed a different factory
     (observed as order-dependent test failures). Factories may self-identify
     via a `cache_key` attribute (e.g. a weights digest) when two instances
-    of the same class carry different models."""
-    ident = getattr(factory, "cache_key", None) or (
-        f"{getattr(factory, '__module__', '?')}."
-        f"{getattr(factory, '__qualname__', type(factory).__name__)}"
-    )
+    of the same class carry different models.
+
+    A CLASS factory is safely keyed by qualname (the class IS the recipe),
+    but two distinct non-class factories — lambdas, partials, closures —
+    can share a definition site while wrapping different weights, so for
+    those the fallback is a content digest of the pickled factory; if it
+    won't pickle, return None and skip caching entirely rather than risk
+    serving a stale model."""
+    ident = getattr(factory, "cache_key", None)
+    if ident is None:
+        if isinstance(factory, type):
+            ident = f"{getattr(factory, '__module__', '?')}.{factory.__qualname__}"
+        else:
+            try:
+                import hashlib
+
+                from pyspark import cloudpickle
+
+                ident = "digest:" + hashlib.sha256(
+                    cloudpickle.dumps(factory)
+                ).hexdigest()
+            except Exception:
+                return None
     return f"{tier}:{ident}"
 
 
-def _singleton(key: str, factory):
+def _singleton(key: str | None, factory):
+    if key is None:  # unpicklable non-class factory: caching refused
+        return factory()
     model = _CASCADE_SINGLETONS.get(key)
     if model is None:
         model = factory()
@@ -239,22 +259,93 @@ class NumpyLangClassifier:
         self.classes_: list[str] = []
         self.W = None  # (dim, k)
         self.b = None  # (k,)
+        self._word_cache: dict = {}
+
+    def _word_feature(self, word: str):
+        """(indices, counts) of the word's hashed char-{2,3}-grams, computed
+        once per DISTINCT word (same cache trick as the BPE apply: web text
+        repeats words heavily, so per-token work becomes per-distinct-word
+        work). crc32 is kept byte-for-byte so features — and therefore
+        predictions — are identical to the scalar implementation; counts
+        are small integers, so accumulating them as float64 is exact."""
+        got = self._word_cache.get(word)
+        if got is None:
+            import zlib
+
+            import numpy as np
+
+            w = f" {word} "
+            grams = [
+                zlib.crc32(w[i : i + n].encode("utf-8")) % self.dim
+                for n in (2, 3)
+                for i in range(len(w) - n + 1)
+            ]
+            idx, cnt = np.unique(np.asarray(grams, dtype=np.int64), return_counts=True)
+            if len(self._word_cache) >= 1 << 20:  # bound worker memory
+                self._word_cache.clear()
+            got = self._word_cache[word] = (idx, cnt.astype(np.float64))
+        return got
 
     def _features(self, texts) -> "object":
-        import zlib
+        """Batch featurization as ONE bincount: the python pass only maps
+        words to batch-local ids (crc32 hashing runs once per distinct word
+        via the cache); the scatter-add into the (rows x dim) matrix is a
+        single numpy gather + bincount over all occurrences. Accumulation
+        order differs from the scalar version but every addend is a small
+        integer, so the float64 sums — and the predictions — are exact and
+        identical (pinned by test)."""
+        from collections import Counter
 
         import numpy as np
 
-        X = np.zeros((len(texts), self.dim), dtype=np.float64)
+        n = len(texts)
+        # batch-local vocabulary + (row, word-id, multiplicity) occurrence lists
+        feats: list = []  # per word-id: (gram indices, gram counts)
+        vocab: dict = {}
+        occ_rows: list = []
+        occ_wids: list = []
+        occ_reps: list = []
         for r, t in enumerate(texts):
-            for word in str(t).lower().split():
-                w = f" {word} "
-                for n in (2, 3):
-                    for i in range(len(w) - n + 1):
-                        X[r, zlib.crc32(w[i : i + n].encode("utf-8")) % self.dim] += 1.0
+            for word, reps in Counter(str(t).lower().split()).items():
+                wid = vocab.get(word)
+                if wid is None:
+                    wid = vocab[word] = len(feats)
+                    feats.append(self._word_feature(word))
+                occ_rows.append(r)
+                occ_wids.append(wid)
+                occ_reps.append(reps)
+        if not feats:
+            X = np.zeros((n, self.dim), dtype=np.float64)
+        else:
+            # per-word feature table, concatenated, with offsets
+            lens = np.array([len(f[0]) for f in feats], dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            f_idx = np.concatenate([f[0] for f in feats])
+            f_cnt = np.concatenate([f[1] for f in feats])
+            wids = np.asarray(occ_wids, dtype=np.int64)
+            rows = np.asarray(occ_rows, dtype=np.int64)
+            reps = np.asarray(occ_reps, dtype=np.float64)
+            ol = lens[wids]  # grams per occurrence
+            # gather positions: for occurrence j, starts[wids[j]] .. +ol[j]
+            ends = np.cumsum(ol)
+            pos = np.arange(ends[-1], dtype=np.int64) - np.repeat(
+                ends - ol, ol
+            ) + np.repeat(starts[wids], ol)
+            keys = f_idx[pos] + self.dim * np.repeat(rows, ol)
+            weights = f_cnt[pos] * np.repeat(reps, ol)
+            X = np.bincount(
+                keys, weights=weights, minlength=n * self.dim
+            ).reshape(n, self.dim)
         norms = np.linalg.norm(X, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         return X / norms
+
+    def __getstate__(self):
+        # never ship the n-gram cache (training fills it with the synth
+        # corpus's vocabulary); workers rebuild it from their own batches
+        d = self.__dict__.copy()
+        d["_word_cache"] = {}
+        return d
 
     def fit(self, texts, labels) -> "NumpyLangClassifier":
         import numpy as np

@@ -233,15 +233,23 @@ class IncrementalER:
         )
         self._keys.append(new_keys.distinct(), batch_id)
         self._labels.append(label_delta, batch_id)
-        # sketch rollup: merge this batch's registers into the state (the
-        # appended delta is the bounded merged table — latest-wins read
-        # then yields exactly max(old, batch) per (own_type, bucket))
+        # sketch rollup: merge this batch's registers into the state and
+        # append ONLY the registers the batch actually changed (anti-join
+        # merged vs previous on the full row) — latest-wins read per
+        # (own_type, bucket) then yields exactly max(old, batch); unchanged
+        # registers survive in older versions until compaction, keeping the
+        # per-batch write volume O(batch), not O(groups x 2^p)
         batch_regs = sketch.hll_registers(
             records.filter(F.col("own_type") != -99),
             ["own_type"], "simple_owners", p=self.hll_p,
         )
+        old_regs = self._name_hll.read()
+        merged_regs = sketch.hll_merge(old_regs, batch_regs)
         self._name_hll.append(
-            sketch.hll_merge(self._name_hll.read(), batch_regs), batch_id
+            merged_regs.join(
+                old_regs, ["own_type", "bucket", "maxrank"], "left_anti"
+            ),
+            batch_id,
         )
         # output view: family/juniors clusters split by address (the batch
         # pipeline applies the same refinement after CC)

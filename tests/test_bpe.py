@@ -151,3 +151,18 @@ def test_bpe_lossless_and_monotone(words, n_merges):
             for w in words:
                 assert counts[w] <= prev_counts[w]
         prev_counts = counts
+
+
+def test_bpe_training_releases_checkpoint_blocks(spark):
+    """The incremental trainer must not leak localCheckpoint blocks across
+    iterations (a 32k-merge production vocab would otherwise exhaust the
+    block store): after training, no trainer RDD may remain persisted."""
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    texts = ["ab ab ab abc", "ab abc abc", "xy xy ab"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    m = train_bpe(df, n_merges=8)
+    assert m == bpe_train_py(texts, n_merges=8)
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after <= before

@@ -95,3 +95,30 @@ def test_ingest_merged_hll_equals_whole_corpus(spark, tmp_path):
         ).collect()
     }
     assert est == whole_est
+
+
+def test_ingest_hll_delta_append_is_batch_proportional(spark, tmp_path):
+    """r6 ADVICE: each batch must append only the registers it CHANGED, not
+    the full merged table — re-ingesting an identical batch changes no
+    register, so its delta version must be empty while the merged read
+    stays intact."""
+    pages, _ = generate_web_pages(n_pages=200, seed=78)
+    inc = IncrementalER(spark, str(tmp_path / "state"))
+    inc.process_batch(spark.createDataFrame(pages), 0)
+    regs_after_0 = {
+        (r["own_type"], r["bucket"]): r["maxrank"]
+        for r in inc._name_hll.read().collect()
+    }
+    assert len(regs_after_0) > 0
+    # same pages again: every register already at its max -> empty delta
+    inc.process_batch(spark.createDataFrame(pages), 1)
+    import os
+
+    d1 = os.path.join(str(tmp_path / "state"), "hll_names", "d1")
+    d1_rows = spark.read.parquet(d1).count()
+    assert d1_rows == 0
+    regs_after_1 = {
+        (r["own_type"], r["bucket"]): r["maxrank"]
+        for r in inc._name_hll.read().collect()
+    }
+    assert regs_after_1 == regs_after_0
