@@ -161,7 +161,13 @@ def shed(item: str, why: str) -> None:
 # single-core probe before each big-pair leg detects a throttled window;
 # we wait it out (bounded) rather than timing the flagship leg inside it.
 # ---------------------------------------------------------------------------
-_PROBE_BEST = 0.0
+# Absolute single-core floor from known-good calibration history (r6 run's
+# probes spanned 13.7-20.5 Mops; healthy windows sit 16-21). Seeding the
+# ledger means a run that STARTS inside a throttled window still waits —
+# with 0.0 the first probe always reads as 100% of "best" and the big pair
+# (the measurement the probe exists to protect) would be timed throttled.
+_PROBE_FLOOR = 18e6
+_PROBE_BEST = _PROBE_FLOOR
 
 
 def throttle_probe() -> float:
@@ -780,17 +786,44 @@ def run_big_pair() -> dict:
     TOTAL budget); a throttle probe runs before each leg and waits out
     detected slow windows (bounded)."""
     corpus_big = _bench_corpus_path(ER_PAGES_BIG)
-    lo_big, hi_big, probes = [], [], []
+    lo_big, hi_big = [], []
+    probes_lo, probes_hi = [], []
+
+    def leg(level: int, runs: list, probes_l: list, tag: str) -> None:
+        _settle()
+        probes_l.append(round(wait_out_throttle(tag) / 1e6, 2))
+        runs.append(_pinned_run("er", level, corpus_big))
+
     for rep in range(2):
         if rep > 0 and elapsed() > 0.55 * TOTAL_BUDGET:
             shed("big_pair_rep2", "rep 1 consumed >55% of the total budget")
             break
-        _settle()
-        probes.append(round(wait_out_throttle("big-er@8") / 1e6, 2))
-        lo_big.append(_pinned_run("er", 8, corpus_big))
-        _settle()
-        probes.append(round(wait_out_throttle("big-er@32") / 1e6, 2))
-        hi_big.append(_pinned_run("er", 32, corpus_big))
+        leg(8, lo_big, probes_lo, "big-er@8")
+        leg(32, hi_big, probes_hi, "big-er@32")
+
+    # Probe-gated rep retry (r6 verdict #4): best-of-2 green rode 1.6x rep
+    # variance (a leg timed inside a throttle window the 0.55 wait gate let
+    # through). A leg whose pre-leg probe sat >1.5x below the run's best
+    # probe was measured throttled — re-run the worst such leg once, budget
+    # permitting, so the green is structural rather than lucky.
+    retries: list[str] = []
+    all_probes = probes_lo + probes_hi
+    if all_probes:
+        best_probe = max(all_probes)
+        cands = []
+        for level, runs, probes_l in ((8, lo_big, probes_lo), (32, hi_big, probes_hi)):
+            i = min(range(len(probes_l)), key=lambda j: probes_l[j])
+            if probes_l[i] * 1.5 < best_probe:
+                cands.append((probes_l[i], level, runs, probes_l))
+        for _, level, runs, probes_l in sorted(cands)[:2]:
+            leg_est = max(r["e2e_s"] for r in runs) + 60.0
+            if elapsed() + leg_est > 0.55 * TOTAL_BUDGET:
+                shed(f"big_pair_probe_retry@{level}", "budget")
+                continue
+            log(f"  [probe-retry] big-er@{level}: worst probe "
+                f"{min(probes_l)} vs best {best_probe} Mops — extra rep")
+            leg(level, runs, probes_l, f"big-er@{level}-retry")
+            retries.append(f"@{level}")
     lob, hib = _best_of(lo_big), _best_of(hi_big)
     return {
         "er_pages_big": ER_PAGES_BIG,
@@ -802,7 +835,8 @@ def run_big_pair() -> dict:
             "e2e_32": [r["e2e_s"] for r in hi_big],
             "records_8": [r["stage_records_s"] for r in lo_big],
             "records_32": [r["stage_records_s"] for r in hi_big],
-            "throttle_probe_mops": probes,
+            "throttle_probe_mops": probes_lo + probes_hi,
+            "probe_retries": retries,
         },
         "scaling_efficiency_e2e_big": round((lob["e2e_s"] / hib["e2e_s"]) / 4.0, 3),
     }
@@ -1291,9 +1325,14 @@ def main() -> None:
     context = run_context_pair()
 
     # 4. kernel top-up rounds (these shed FIRST, by running last).
-    # Criterion first — it is the graded metric and a round is ~2.5x
-    # cheaper than a saturation round; chase a clean window (up to 5
-    # rounds while the best ratio is still under the 0.8 bar, else 3).
+    # r6 rebalance (r6 verdict #2): that run shipped a SINGLE-REP 0.719
+    # saturation number — criterion, already green at round 1, absorbed
+    # the top-up budget first and saturation round 2 shed. Now: once
+    # criterion is green it caps at 2 rounds and the recovered ~300s/round
+    # goes to saturation (the multi-rep evidence the verdict asked for);
+    # criterion only chases extra rounds ahead of saturation while it is
+    # itself under the 0.8 bar (it IS the graded metric), and its gate
+    # reserves one saturation round so the chase can never starve it.
     def _crit_eff() -> float:
         best = {
             c: max(r["pairs_per_sec"] for r in kruns[("criterion", c)])
@@ -1301,13 +1340,16 @@ def main() -> None:
         }
         return best[8] / best[2] / 4.0
 
-    while remaining() > crit_cost + RESERVE:
+    while remaining() > crit_cost + sat_cost + RESERVE:
         n = len(kruns[("criterion", 2)])
-        if n >= 5 or (n >= 3 and _crit_eff() >= 0.8):
+        if n >= 5 or (n >= 2 and _crit_eff() >= 0.8):
             break
         crit_cost = min(crit_cost, criterion_round(kruns, pairs_path))
     while len(kruns[("saturation", 8)]) < 3 and remaining() > sat_cost + RESERVE:
         sat_cost = min(sat_cost, saturation_round(kruns, pairs_path))
+    # leftover budget flows back to criterion (best-of only improves)
+    while len(kruns[("criterion", 2)]) < 5 and remaining() > crit_cost + RESERVE:
+        crit_cost = min(crit_cost, criterion_round(kruns, pairs_path))
     if len(kruns[("criterion", 2)]) < 3:
         shed(f"criterion_rounds_beyond_{len(kruns[('criterion', 2)])}", "budget")
     if len(kruns[("saturation", 8)]) < 3:
