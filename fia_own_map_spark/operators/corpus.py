@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fia_own_map_spark.operators.dedup import exact_dup_groups, remove_duplicated_spans
+from fia_own_map_spark.operators.dedup import (
+    exact_dup_groups,
+    normalized_text,
+    remove_duplicated_spans,
+)
 from fia_own_map_spark.operators.text import lang_id, quality_features, token_count_ws
 
 # stage tags, in pipeline order (a row carries the FIRST stage that drops it)
@@ -42,7 +46,8 @@ def tag_corpus(
 ) -> DataFrame:
     """Every input row, tagged with its pipeline outcome. Emitted columns:
     all input columns + clean_text (span-removed normalized text),
-    n_tokens_clean (post-clean whitespace count), quality_score, lang_pred,
+    n_tokens_clean (post-clean whitespace count), n_tokens_removed_spans
+    (the span stage's per-row excision budget), quality_score, lang_pred,
     drop_stage — plus quality_features' own diagnostics (n_tokens over
     clean_text, punct/stopword ratios). Downstream selects should use
     n_tokens_clean / lang_pred, not the quality-diagnostic n_tokens."""
@@ -70,15 +75,32 @@ def tag_corpus(
         .when(~F.col("lang_pred").isin(*lang_allow), F.lit(DROP_LANG))
         .otherwise(F.lit(KEPT))
     )
-    surv_tagged = scored.withColumn(
-        "n_tokens_clean",
-        F.when(F.col("clean_text").isNull(), F.lit(0))
-        .otherwise(token_count_ws("clean_text")),
-    ).withColumn("drop_stage", drop)
+    surv_tagged = (
+        scored.withColumn(
+            "n_tokens_clean",
+            F.when(F.col("clean_text").isNull(), F.lit(0))
+            .otherwise(token_count_ws("clean_text")),
+        )
+        # span-removal budget, closed per row: pre-removal token count of
+        # the SAME normalization minus what survived (span_dedup_stats is
+        # the standalone detect-and-budget view of the identical quantity)
+        .withColumn(
+            "n_tokens_removed_spans",
+            F.greatest(
+                F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+                    token_count_ws(normalized_text(text_col))
+                )
+                - F.col("n_tokens_clean"),
+                F.lit(0),
+            ),
+        )
+        .withColumn("drop_stage", drop)
+    )
     dup_tagged = (
         base.filter(F.col("_is_dup")).drop("_is_dup")
         .withColumn("clean_text", F.lit(None).cast("string"))
         .withColumn("n_tokens_clean", F.lit(0))
+        .withColumn("n_tokens_removed_spans", F.lit(0))
         .withColumn("drop_stage", F.lit(DROP_EXACT_DUP))
     )
     return surv_tagged.unionByName(dup_tagged, allowMissingColumns=True)
@@ -99,23 +121,30 @@ def clean_training_corpus(
 
 
 def corpus_metrics(tagged: DataFrame) -> dict[str, dict[str, int]]:
-    """{stage: {docs, tokens}} in ONE aggregate job over the tag column
-    (never one count() per stage). Tokens are post-span-removal counts, so
-    kept-tokens is the actual training-data volume the pipeline yields."""
+    """{stage: {docs, tokens, span_tokens_removed}} in ONE aggregate job
+    over the tag column (never one count() per stage). Tokens are post-
+    span-removal counts, so kept-tokens is the actual training-data volume
+    the pipeline yields; span_tokens_removed closes the loop on the
+    "budget before you remove" story span_dedup_stats starts — how many
+    tokens the span stage excised from each outcome group (0 for exact
+    dups, which never reach it)."""
     rows = (
         tagged.groupBy("drop_stage")
         .agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("n_tokens_clean").alias("tokens"),
+            F.sum("n_tokens_removed_spans").alias("span_removed"),
         )
         .collect()
     )
     out = {
-        s: {"docs": 0, "tokens": 0}
+        s: {"docs": 0, "tokens": 0, "span_tokens_removed": 0}
         for s in (DROP_EXACT_DUP, DROP_EMPTY, DROP_QUALITY, DROP_LANG, KEPT)
     }
     for r in rows:
         out[r["drop_stage"]] = {
-            "docs": r["docs"], "tokens": int(r["tokens"] or 0)
+            "docs": r["docs"],
+            "tokens": int(r["tokens"] or 0),
+            "span_tokens_removed": int(r["span_removed"] or 0),
         }
     return out

@@ -100,3 +100,35 @@ def test_sf001_end_to_end(spark):
     rows = kept.collect()
     assert len(rows) == m[KEPT]["docs"]
     assert all(r["clean_text"] for r in rows)
+
+
+def test_span_accounting_matches_standalone_stats(corpus):
+    """r6 verdict stretch #8: the metrics' span_tokens_removed must equal
+    the standalone span_dedup_stats budget computed on the deduped corpus
+    (same k, same min_count) — the pipeline removes exactly what the
+    budget op predicted."""
+    from pyspark.sql import functions as F
+
+    from fia_own_map_spark.operators.dedup import exact_dup_groups, span_dedup_stats
+
+    tagged = tag_corpus(corpus, span_k=8)
+    m = corpus_metrics(tagged)
+    # exact dups never reach the span stage
+    assert m[DROP_EXACT_DUP]["span_tokens_removed"] == 0
+    # predicted budget: span stats over the dedup survivors
+    dups = exact_dup_groups(corpus).filter(
+        F.col("doc_id") != F.col("canonical_id")
+    ).select("doc_id")
+    survivors = corpus.join(dups, "doc_id", "left_anti")
+    predicted = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in span_dedup_stats(survivors, k=8).collect()
+    }
+    per_row = {
+        r["doc_id"]: r["n_tokens_removed_spans"]
+        for r in tagged.filter(F.col("drop_stage") != DROP_EXACT_DUP).collect()
+    }
+    assert per_row == predicted
+    assert sum(v["span_tokens_removed"] for v in m.values()) == sum(
+        predicted.values()
+    ) > 0
