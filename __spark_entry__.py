@@ -324,6 +324,21 @@ def q_bpe_token_counts(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_lm_doc_logprob(spark, sf):
+    """CCNet-style trigram-LM perplexity scoring (operators/lm.py), trained
+    IN-QUERY on the corpus it scores. The per-event log-probs are INTEGER-
+    QUANTIZED (round(ln(x) * 2^20) as bigint — the Lloyd-IVF fixed-point
+    discipline) so the doc scores are bit-reproducible across engines and
+    partitionings; the float logprob_per_token derives from the two exact
+    integers by one division. The oracle re-trains the identical model in
+    DuckDB SQL (`_lm_scores_sql`)."""
+    from fia_own_map_spark.operators.lm import lm_doc_scores, train_trigram_lm
+
+    d = _t(spark, sf, "documents")
+    lm = train_trigram_lm(d)
+    return lm_doc_scores(d, lm).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # text-analysis queries
 # ---------------------------------------------------------------------------
@@ -1018,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_stats": q_span_dedup_stats,          # gaps-and-islands SQL oracle (r7)
         "corpus_clean_tags": q_corpus_clean_tags,        # full-chain SQL oracle (r7)
         "bpe_token_counts": q_bpe_token_counts,          # training-unrolled SQL oracle (r7)
+        "lm_doc_logprob": q_lm_doc_logprob,              # quantized-log trigram-LM oracle (r7)
         # text analysis
         "ml_cascade_lang": q_ml_cascade_lang,
         "text_lang_id": q_text_lang_id,
@@ -1037,7 +1053,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # special case of the multi-table row below; pytest-checked in
         # test_retired_contract.py
         "ann_lsh_multi_topk": q_ann_lsh_multi_topk,      # seeded-plane SQL oracle (r5)
-        "ann_ivf_topk": q_ann_ivf_topk,                  # seeded-quantizer SQL oracle (r6)
+        # ann_ivf_topk (seeded quantizer) left the contract in r7: the
+        # trained-Lloyd row below exercises the same probe/re-rank path
+        # with a strictly stronger (fit-included) oracle; pytest-checked
+        # in test_retired_contract.py
         "ann_ivf_lloyd_topk": q_ann_ivf_lloyd_topk,      # TRAINED integer-Lloyd SQL oracle (r6)
         # sketches
         "sketch_hll_custkeys": q_sketch_hll_custkeys,    # full-HLL SQL oracle (r5)
@@ -1894,7 +1913,9 @@ def oracle_sql() -> dict[str, str]:
         # IVF: deterministic sampled quantizer in the contract query (the
         # KMeans fit is the production variant, same probe/re-rank path) —
         # the whole query is rebuilt in SQL, zero rows-only entries left
-        "ann_ivf_topk": _ivf_seeded_oracle_sql(n_cells=32, nprobe=6),
+        # (ann_ivf_topk oracle moved to retired_oracle_sql(), pytest-checked
+        # — r7 contract slot freed for lm_doc_logprob)
+        "lm_doc_logprob": _lm_scores_sql(),
         # TRAINED quantizer, value-checked: 2 Lloyd iterations over
         # floor(x*2^20) integer vectors unrolled as CTEs — the fit itself
         # is bit-reproducible (integer sums, explicit truncating division)
@@ -2212,6 +2233,53 @@ def _span_stats_sql(k: int = 8, min_count: int = 2) -> str:
     """
 
 
+def _lm_scores_sql() -> str:
+    """DuckDB re-training of the add-one trigram LM (operators/lm.py):
+    BOS-padded events, trigram/context counts, vocab size, then the
+    quantized-log score round(ln(c3+1)*2^20) - round(ln(c2+V)*2^20) summed
+    per doc as exact integers. ln differs from Java Math.log by 1 ulp on
+    ~1% of integer inputs (measured) but a quantization flip needs the
+    product within ~3e-9 of a .5 boundary — the integer currency is the
+    parity mechanism. DuckDB sum(BIGINT) is HUGEINT, so the doc sum casts
+    back explicitly."""
+    norm = _NORM_WS_SQL.format(c="text")
+    scale = 1 << 20
+    return f"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id, string_split({norm}, ' ') AS t
+          FROM documents
+          WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        padded AS (
+          SELECT doc_id, list_concat(['<s>', '<s>'], t) AS p, len(t) AS m
+          FROM toks),
+        events AS MATERIALIZED (
+          SELECT doc_id, p[u.i] AS a, p[u.i + 1] AS b, p[u.i + 2] AS c
+          FROM padded, UNNEST(range(1, m + 1)) AS u(i)),
+        c3 AS MATERIALIZED (
+          SELECT a, b, c, count(*) AS n3 FROM events GROUP BY a, b, c),
+        c2 AS MATERIALIZED (
+          SELECT a, b, CAST(sum(n3) AS BIGINT) AS n2 FROM c3 GROUP BY a, b),
+        v AS (SELECT count(DISTINCT u.w) AS vs FROM toks, UNNEST(t) AS u(w)),
+        scored AS (
+          SELECT e.doc_id,
+                 CAST(round(ln((n3 + 1)::DOUBLE) * {scale}, 0) AS BIGINT)
+                 - CAST(round(ln((n2 + (SELECT vs FROM v))::DOUBLE) * {scale}, 0)
+                        AS BIGINT) AS q
+          FROM events e JOIN c3 USING (a, b, c) JOIN c2 USING (a, b)),
+        perdoc AS (
+          SELECT doc_id, CAST(sum(q) AS BIGINT) AS logprob_q,
+                 count(*) AS n_trigrams
+          FROM scored GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(p.n_trigrams, 0) AS n_trigrams,
+               p.logprob_q,
+               round(p.logprob_q::DOUBLE / ({scale}.0 * p.n_trigrams), 6)
+                   AS logprob_per_token
+        FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+
 def _lang_score_sql(col: str) -> dict[str, str]:
     """Per-language stopword-hit expressions over an arbitrary column —
     shared by the lang-ID oracle and the corpus-pipeline oracle."""
@@ -2407,6 +2475,7 @@ def retired_oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ann_lsh_topk": _lsh_oracle_sql(n_planes=6, n_tables=1),
+        "ann_ivf_topk": _ivf_seeded_oracle_sql(n_cells=32, nprobe=6),
         "window_sum_value_per_user": """
             SELECT event_id, user_id,
                    round(sum(value) OVER (PARTITION BY user_id), 4) AS user_total_value,
@@ -2419,5 +2488,6 @@ def retired_oracle_sql() -> dict[str, str]:
 RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_groups": q_dedup_exact_groups,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "window_sum_value_per_user": q_window_sum_value_per_user,
 }

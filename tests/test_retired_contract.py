@@ -10,6 +10,8 @@ Retired so far:
   r7: dedup_exact_groups    (slot freed for span_dedup_stats)
   r7: ann_lsh_topk          (slot freed for corpus_clean_tags)
   r7: window_sum_value_per_user (slot freed for bpe_token_counts)
+  r7: ann_ivf_topk          (seeded quantizer — the trained-Lloyd contract
+      row covers the same probe/re-rank path; slot freed for lm_doc_logprob)
 """
 
 import duckdb

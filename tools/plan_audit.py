@@ -77,6 +77,20 @@ AUDITED = [
     ("ann_ivf_lloyd_topk",
      ["BroadcastNestedLoopJoin|BroadcastHashJoin", "partial_min",
       "!ArrowEvalPython", "!BatchEvalPython", "!CartesianProduct"]),
+    # r7: span dedup — 8-byte hashed-shingle shuffle with map-side partial
+    # count, AQE-splittable SEMI join back, per-doc interval merge as a
+    # native fold (never a window over unbounded doc keys)
+    ("span_dedup_stats",
+     ["xxhash64", "LeftSemi|Semi", "partial_count|partial_", "!Window",
+      "!CartesianProduct", "!ArrowEvalPython", "!BatchEvalPython"]),
+    # r7: composed cleaning pipeline — one fused lazy plan, all native
+    ("corpus_clean_tags",
+     ["!Window", "!CartesianProduct", "!ArrowEvalPython", "!BatchEvalPython"]),
+    # r7: trigram-LM scoring — count-table equi-joins + one groupBy(doc)
+    # sum; quantized-log exprs are native (no python islands anywhere)
+    ("lm_doc_logprob",
+     ["HashAggregate", "!Window", "!CartesianProduct", "!ArrowEvalPython",
+      "!BatchEvalPython"]),
 ]
 
 
