@@ -815,7 +815,9 @@ def run_big_pair() -> dict:
             i = min(range(len(probes_l)), key=lambda j: probes_l[j])
             if probes_l[i] * 1.5 < best_probe:
                 cands.append((probes_l[i], level, runs, probes_l))
-        for _, level, runs, probes_l in sorted(cands)[:2]:
+        # one retry max: a second (~170s) could starve the saturation
+        # top-up round the same verdict asks for
+        for _, level, runs, probes_l in sorted(cands)[:1]:
             leg_est = max(r["e2e_s"] for r in runs) + 60.0
             if elapsed() + leg_est > 0.55 * TOTAL_BUDGET:
                 shed(f"big_pair_probe_retry@{level}", "budget")
