@@ -152,3 +152,52 @@ def test_saturation_shed_criterion_survives(tmp_path, monkeypatch):
     md = open(tmp_path / "BENCH" / "BASELINE.md").read()
     assert "criterion pair only" in md and "0.9" in md
     assert "NOT MEASURED" not in md
+
+
+def _patch_big_pair(monkeypatch, probes, elapsed=100.0):
+    """Script run_big_pair's environment: probes consumed in call order."""
+    it = iter(probes)
+    monkeypatch.setattr(bench, "wait_out_throttle",
+                        lambda tag, **kw: next(it) * 1e6)
+    monkeypatch.setattr(bench, "_settle", lambda: None)
+    monkeypatch.setattr(bench, "_bench_corpus_path", lambda n: "/dev/null")
+    monkeypatch.setattr(bench, "elapsed", lambda: elapsed)
+    calls = []
+
+    def fake_run(kind, cores, path, env=None):
+        calls.append(cores)
+        return _er(cores, 150.0 if cores == 8 else 100.0)
+
+    monkeypatch.setattr(bench, "_pinned_run", fake_run)
+    return calls
+
+
+def test_big_pair_no_retry_when_probes_healthy(monkeypatch):
+    calls = _patch_big_pair(monkeypatch, [20.0, 20.1, 19.8, 20.3])
+    out = bench.run_big_pair()
+    assert calls == [8, 32, 8, 32]
+    assert out["big_history"]["probe_retries"] == []
+    assert out["big_repeats"] == 2
+
+
+def test_big_pair_retries_worst_throttled_leg_once(monkeypatch):
+    # rep-2 32-leg probed deep inside a throttle window (20 / 1.5 > 9)
+    calls = _patch_big_pair(monkeypatch, [20.0, 20.1, 19.8, 9.0, 20.2])
+    out = bench.run_big_pair()
+    assert calls == [8, 32, 8, 32, 32]  # exactly one extra 32 rep
+    assert out["big_history"]["probe_retries"] == ["@32"]
+    assert len(out["big_history"]["e2e_32"]) == 3
+    assert len(out["big_history"]["e2e_8"]) == 2
+
+
+def test_big_pair_retry_sheds_when_budget_deep(monkeypatch):
+    shed_log = []
+    monkeypatch.setattr(bench, "SHED", shed_log)
+    calls = _patch_big_pair(
+        monkeypatch, [20.0, 20.1, 19.8, 9.0],
+        elapsed=0.55 * bench.TOTAL_BUDGET - 50.0,  # no room for a retry leg
+    )
+    out = bench.run_big_pair()
+    assert calls == [8, 32, 8, 32]
+    assert out["big_history"]["probe_retries"] == []
+    assert any("probe_retry" in s for s in shed_log)
