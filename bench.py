@@ -218,7 +218,10 @@ def phase_a(
     from fia_own_map_spark.session import build_session
 
     spark = build_session("bench-headline", master=f"local[{cpus}]")
-    qs = entrymod.queries()
+    # retired contract queries stay benchable (the ANN recall sweep
+    # measures ann_ivf_topk / ann_lsh_topk, which left the 50-slot
+    # contract in r7 but remain engine paths)
+    qs = {**entrymod.RETIRED_QUERIES, **entrymod.queries()}
     # steady-state warm-up (same policy as the kernel runs): spawn python
     # UDF workers + JIT the scan path once so the first timed query doesn't
     # absorb session startup
