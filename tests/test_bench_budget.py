@@ -201,3 +201,29 @@ def test_big_pair_retry_sheds_when_budget_deep(monkeypatch):
     assert calls == [8, 32, 8, 32]
     assert out["big_history"]["probe_retries"] == []
     assert any("probe_retry" in s for s in shed_log)
+
+
+def test_big_pair_retries_on_mp_quota_window(monkeypatch):
+    """Single-core probes healthy, but rep-2 32-leg's MULTI-CORE health is
+    deep in a quota window -> that leg (and only it) gets the retry."""
+    probes = iter([20.0, 20.1, 19.8, 20.2, 20.1])
+    mp_fracs = iter([1.0, 0.98, 0.99, 0.41, 0.97])
+
+    def fake_wait(tag, **kw):
+        bench._LAST_MP_FRAC = next(mp_fracs)
+        return next(probes) * 1e6
+
+    monkeypatch.setattr(bench, "wait_out_throttle", fake_wait)
+    monkeypatch.setattr(bench, "_settle", lambda: None)
+    monkeypatch.setattr(bench, "_bench_corpus_path", lambda n: "/dev/null")
+    monkeypatch.setattr(bench, "elapsed", lambda: 100.0)
+    calls = []
+    monkeypatch.setattr(
+        bench, "_pinned_run",
+        lambda kind, cores, path, env=None: (calls.append(cores),
+                                             _er(cores, 120.0))[1],
+    )
+    out = bench.run_big_pair()
+    assert calls == [8, 32, 8, 32, 32]
+    assert out["big_history"]["probe_retries"] == ["@32"]
+    assert out["big_history"]["mp_probe_health"] == [1.0, 0.99, 0.98, 0.41, 0.97]
