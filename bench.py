@@ -1128,10 +1128,16 @@ run-to-run drift). Each
 measurement runs in a subprocess pinned with `taskset` to exactly N CPUs
 (unpinned local[N] would quietly use up to 2N cores — JVM task threads plus
 pandas-UDF python workers — inflating the small baseline). The big e2e pair
-runs FIRST, on a cold host, with a single-core throttle probe before each
-leg (probes this run: {scaling['big_history'].get('throttle_probe_mops')}
-Mops) — r4/r5 showed the pair 1.5-7x inflated when it ran after sustained
-kernel load.
+runs FIRST, on a cold host, with BOTH a single-core throttle probe and an
+all-core aggregate probe before each leg (single-core probes this run:
+{scaling['big_history'].get('throttle_probe_mops')} Mops; per-leg
+multi-core health vs the best window:
+{scaling['big_history'].get('mp_probe_health')}; a leg whose health sat
+below 1/1.5 would get one probe-gated extra rep — retries this run:
+{scaling['big_history'].get('probe_retries')}) — r4/r5 showed the pair
+1.5-7x inflated when it ran after sustained kernel load, and an r7 run
+measured quota-shaped windows that cap 32-core throughput while
+single-core probes stay healthy.
 """
     if kb and 32 not in kb:
         k2, k8 = kb[2], kb[8]
