@@ -231,7 +231,7 @@ def q_dedup_minhash_pairs(spark, sf):
 MINHASH_MD5_ORACLE_SQL = """
     WITH t AS (
       SELECT doc_id,
-             list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS sh
+             list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS sh
       FROM documents),
     s AS (
       SELECT doc_id, sh,
@@ -1726,7 +1726,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_keep": """
             SELECT doc_id, text FROM (
               SELECT doc_id, text,
-                     min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+                     min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
                          AS canon
               FROM documents) WHERE doc_id = canon
         """,
@@ -1798,7 +1798,7 @@ def oracle_sql() -> dict[str, str]:
                      list_distinct([array_to_string(toks[i:i+1], ' ')
                                     FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)]) AS grams
               FROM (SELECT doc_id, source,
-                           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+                           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
                     FROM documents))
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    round(len(list_intersect(a.grams, b.grams))::double
@@ -2189,7 +2189,7 @@ def _quality_sql() -> str:
 # ---------------------------------------------------------------------------
 # r7 oracles: span dedup, corpus pipeline, BPE (training unrolled in SQL)
 # ---------------------------------------------------------------------------
-_NORM_WS_SQL = "regexp_replace(lower(trim({c})), '\\s+', ' ', 'g')"
+_NORM_WS_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
 
 
 def _span_stats_sql(k: int = 8, min_count: int = 2) -> str:
@@ -2248,7 +2248,7 @@ def _lm_scores_sql() -> str:
         WITH toks AS MATERIALIZED (
           SELECT doc_id, string_split({norm}, ' ') AS t
           FROM documents
-          WHERE text IS NOT NULL AND length(trim(text)) > 0),
+          WHERE text IS NOT NULL AND length({norm}) > 0),
         padded AS (
           SELECT doc_id, list_concat(['<s>', '<s>'], t) AS p, len(t) AS m
           FROM toks),
@@ -2469,8 +2469,8 @@ def retired_oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact_groups": """
             SELECT doc_id,
-                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
-                   min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+                   min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
                        AS canonical_id
             FROM documents
         """,

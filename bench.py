@@ -184,7 +184,13 @@ def throttle_probe() -> float:
 # throughput without touching one core. A ~1.5s all-core burn catches it.
 # Healthy calibration on this host: mp@8 = 0.80 of ideal, mp@32 = 0.71;
 # the 0.45/proc floor sits safely below healthy and above a halved quota.
-_PROBE_BEST_MP: dict[int, float] = {}
+# Seeded with measured-healthy absolutes (same fix as the 18 Mops
+# single-core floor): without a seed, a run that STARTS inside a quota
+# window records the throttled reading as its "best" and every later
+# health reads ~1.0 — and the relative 0.45/proc scaling floor only trips
+# the 0.55 gate for windows >2.9x deep, missing the observed 1.6-1.9x
+# ones. Healthy calibration on this host: mp@8 ~108 Mops, mp@32 ~382.
+_PROBE_BEST_MP: dict[int, float] = {8: 100e6, 32: 350e6}
 _MP_FLOOR_PER_PROC = 0.45
 _LAST_MP_FRAC = 1.0  # health (probe/reference) of the most recent mp probe
 

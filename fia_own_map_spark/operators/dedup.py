@@ -51,9 +51,18 @@ def swap_cached(key: str, df: DataFrame) -> DataFrame:
 
 
 def normalized_text(col: Column | str) -> Column:
-    """Whitespace/case-normalized view of the text for content hashing."""
+    """Whitespace/case-normalized view of the text for content hashing.
+
+    Trim runs AFTER the whitespace collapse (r7): F.trim strips the space
+    character only, so trimming first left a leading/trailing space behind
+    edge tabs/newlines — and splitting that on ' ' produced EMPTY edge
+    tokens that the python word mirror (normalized_words_py, which filters
+    empties) never saw. Collapse-then-trim guarantees the split yields no
+    empty tokens for any non-blank text, keeping every consumer (exact-dup
+    hash, shingles, BPE words, LM events) and both mirrors on one
+    convention."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
 _JAVA_WS = re.compile("[ \t\n\x0b\x0c\r]+")

@@ -51,8 +51,12 @@ BOS = "<s>"  # context padding token (cannot collide: mirrors/oracle use the sam
 
 
 def _nonempty(df: DataFrame, text_col: str) -> DataFrame:
+    """Documents with at least one token. The gate is on the NORMALIZED
+    text (F.trim strips spaces only, so a tab-only doc passes a raw-trim
+    check yet normalizes to '' — and split('', ' ') would fabricate one
+    empty token)."""
     return df.filter(
-        F.col(text_col).isNotNull() & (F.length(F.trim(text_col)) > 0)
+        F.col(text_col).isNotNull() & (F.length(normalized_text(text_col)) > 0)
     )
 
 
@@ -96,14 +100,10 @@ def train_trigram_lm(
     c3 = events.groupBy("a", "b", "c").agg(F.count(F.lit(1)).alias("n3"))
     # context counts from the (much smaller) trigram table, not the stream
     c2 = c3.groupBy("a", "b").agg(F.sum("n3").alias("n2"))
-    vocab_size = (
-        _nonempty(df, text_col)
-        .select(
-            F.explode(F.split(normalized_text(text_col), " ")).alias("w")
-        )
-        .distinct()
-        .count()
-    )
+    # vocab from the trigram table too: every corpus token is the TARGET of
+    # exactly one event (BOS is never a target), so distinct targets =
+    # distinct words — no second corpus-wide scan for the count
+    vocab_size = c3.select("c").distinct().count()
     return TrigramLM(c3=c3, c2=c2, vocab_size=int(vocab_size))
 
 

@@ -135,7 +135,14 @@ def _factory_key(tier: str, factory) -> str | None:
     can share a definition site while wrapping different weights, so for
     those the fallback is a content digest of the pickled factory; if it
     won't pickle, return None and skip caching entirely rather than risk
-    serving a stale model."""
+    serving a stale model.
+
+    CAVEAT: the digest fingerprints the factory RECIPE, not the model it
+    builds. A factory that loads weights from EXTERNAL state (e.g.
+    `lambda: load('/path/weights.bin')`) pickles identically before and
+    after the file changes — such factories MUST set an explicit
+    `cache_key` (e.g. a weights digest or mtime) or they will serve the
+    previously-cached model from a reused worker."""
     ident = getattr(factory, "cache_key", None)
     if ident is None:
         if isinstance(factory, type):

@@ -259,7 +259,7 @@ def minhash_fast_oracle_sql(
     return f"""
 WITH docs AS (
   SELECT doc_id,
-         list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS sh
+         list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS sh
   FROM documents WHERE text IS NOT NULL),
 tok AS (SELECT doc_id, unnest(sh) AS t FROM docs),
 tu AS (SELECT DISTINCT t FROM tok),

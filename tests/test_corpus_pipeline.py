@@ -132,3 +132,30 @@ def test_span_accounting_matches_standalone_stats(corpus):
     assert sum(v["span_tokens_removed"] for v in m.values()) == sum(
         predicted.values()
     ) > 0
+
+
+def test_span_accounting_with_edge_whitespace(spark):
+    """r7 review: the span budget (split-array convention) and the pre/post
+    removal counts (token_count_ws convention) must agree even for
+    tab-edged documents — collapse-then-trim normalization guarantees the
+    split yields no empty edge tokens."""
+    from pyspark.sql import functions as F
+
+    from fia_own_map_spark.operators.dedup import span_dedup_stats
+
+    boiler = "all rights reserved contact the site administrator for details"
+    rows = [
+        (0, f"\t{boiler} first unique tail with plenty of words to keep\t"),
+        (1, f"{boiler} second unique tail that is also long enough to stay"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tagged = tag_corpus(df, span_k=8)
+    per_row = {
+        r["doc_id"]: r["n_tokens_removed_spans"] for r in tagged.collect()
+    }
+    predicted = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in span_dedup_stats(df, k=8).collect()
+    }
+    assert per_row == predicted
+    assert per_row[0] == per_row[1] > 0

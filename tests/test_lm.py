@@ -105,3 +105,28 @@ def test_sf001_mirror_parity(spark):
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     assert got == trigram_lm_py(texts)
     assert len(got) == 500
+
+
+def test_edge_whitespace_parity(spark):
+    """r7 review: F.trim strips spaces only, so tab-edged text used to
+    produce EMPTY edge tokens on the Spark side that the python word
+    mirror never saw. With collapse-then-trim normalization the mirror,
+    Spark, and the oracle share one convention."""
+    texts = {
+        0: "\tthe cat\tsat  on\tthe mat\t",   # edge tabs + mixed ws
+        1: "the cat sat on the mat",           # same content, clean edges
+        2: "\t \t",                            # whitespace-only: no tokens
+        3: "plain other words here",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    lm = train_trigram_lm(df)
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["logprob_q"], r["logprob_per_token"])
+        for r in lm_doc_scores(df, lm).collect()
+    }
+    assert got == trigram_lm_py(texts)
+    # normalization makes 0 and 1 the same token stream -> same score
+    assert got[0] == got[1]
+    assert got[2] == (0, None, None)

@@ -20,7 +20,7 @@ K = 8
 STATS_ORACLE_SQL = r"""
 WITH toks AS (
   SELECT doc_id, text,
-         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
   FROM documents
 ),
 occ AS (
@@ -46,8 +46,8 @@ perdoc AS (SELECT doc_id, SUM(e - s) AS dup_tokens, COUNT(*) AS n_spans
            FROM spans GROUP BY doc_id)
 SELECT d.doc_id,
        CASE WHEN d.text IS NULL THEN 0
-            ELSE len(string_split(regexp_replace(lower(trim(d.text)),
-                                                 '\s+', ' ', 'g'), ' '))
+            ELSE len(string_split(trim(regexp_replace(lower(d.text),
+                                          '\s+', ' ', 'g')), ' '))
        END AS n_tokens,
        COALESCE(p.dup_tokens, 0) AS dup_tokens,
        COALESCE(p.n_spans, 0) AS n_spans,
