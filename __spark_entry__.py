@@ -324,6 +324,22 @@ def q_bpe_token_counts(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_decontam_eval_overlap(spark, sf):
+    """Eval-set decontamination (operators/decontam.py — the GPT-3-style
+    k-gram overlap screen): documents with doc_id % 50 == 0 act as the
+    held-out benchmark; every remaining TRAIN doc is scored by its shared
+    8-gram shingles with the eval set. Production keys the join on 8-byte
+    xxhash64 shingles; the oracle joins the shingle STRINGS — identical
+    absent a 64-bit collision (which could only over-flag: the
+    conservative direction for decontamination)."""
+    from fia_own_map_spark.operators.decontam import contamination_report
+
+    d = _t(spark, sf, "documents")
+    ev = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return contamination_report(train, ev, k=8).orderBy("doc_id")
+
+
 def q_lm_doc_logprob(spark, sf):
     """CCNet-style trigram-LM perplexity scoring (operators/lm.py), trained
     IN-QUERY on the corpus it scores. The per-event log-probs are INTEGER-
@@ -1028,7 +1044,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checked in pytest (test_minhash_md5_oracle)
         "dedup_minhash_fast": q_dedup_minhash_fast,      # XXH64-in-SQL oracle (r5)
         "dedup_simhash_pairs": q_dedup_simhash_pairs,    # FNV-in-SQL oracle (r5)
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # dedup_ngram_jaccard left the contract in r7 (its 1-row pair
+        # output is the family's weakest evidence next to the value-
+        # checked minhash/simhash/embedding rows); pytest-checked in
+        # test_retired_contract.py
+        "decontam_eval_overlap": q_decontam_eval_overlap,  # eval-set n-gram screen (r7)
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "span_dedup_stats": q_span_dedup_stats,          # gaps-and-islands SQL oracle (r7)
         "corpus_clean_tags": q_corpus_clean_tags,        # full-chain SQL oracle (r7)
@@ -1792,22 +1812,9 @@ def oracle_sql() -> dict[str, str]:
               FROM capped a JOIN capped b USING (bucket) WHERE a.doc_id < b.doc_id)
             SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 8
         """,
-        "dedup_ngram_jaccard": """
-            WITH t AS (
-              SELECT doc_id, source,
-                     list_distinct([array_to_string(toks[i:i+1], ' ')
-                                    FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)]) AS grams
-              FROM (SELECT doc_id, source,
-                           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
-                    FROM documents))
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(len(list_intersect(a.grams, b.grams))::double
-                         / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
-            FROM t a JOIN t b USING (source)
-            WHERE a.doc_id < b.doc_id
-              AND len(list_intersect(a.grams, b.grams))::double
-                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.35
-        """,
+        # (dedup_ngram_jaccard oracle moved to retired_oracle_sql(),
+        # pytest-checked — r7 contract slot freed for decontam_eval_overlap)
+        "decontam_eval_overlap": _decontam_oracle_sql(),
         # XXH64 itself reproduced in DuckDB HUGEINT SQL (r5): split-multiply
         # mod 2^64, list_reduce folds for the 32-byte 4-lane blocks and
         # 8-byte words, subselect-chained unrolls for the fixed steps.
@@ -2233,6 +2240,38 @@ def _span_stats_sql(k: int = 8, min_count: int = 2) -> str:
     """
 
 
+def _decontam_oracle_sql(k: int = 8) -> str:
+    """DuckDB mirror of decontam.contamination_report over the %50 split:
+    per-doc DISTINCT k-gram shingles (same slicing idiom as the span
+    oracle), eval/train partition, equi-join on the shingle string, two
+    distinct counts per train doc. NULL-text and short docs report zeros
+    via the outer left join."""
+    norm = _NORM_WS_SQL.format(c="text")
+    return f"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id, string_split({norm}, ' ') AS t FROM documents
+          WHERE text IS NOT NULL),
+        sh AS MATERIALIZED (
+          SELECT DISTINCT doc_id, array_to_string(t[u.i : u.i + {k - 1}], ' ') AS s
+          FROM toks, UNNEST(range(1, len(t) - {k - 2})) AS u(i)
+          WHERE len(t) >= {k}),
+        ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 50 = 0),
+        tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0),
+        hits AS (SELECT tr.doc_id, tr.s, ev.eval_id FROM tr JOIN ev USING (s)),
+        perdoc AS (
+          SELECT doc_id, count(DISTINCT s) AS n_shared_shingles,
+                 count(DISTINCT eval_id) AS n_eval_docs_hit
+          FROM hits GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_shared_shingles, 0) AS BIGINT) AS n_shared_shingles,
+               CAST(COALESCE(p.n_eval_docs_hit, 0) AS BIGINT) AS n_eval_docs_hit,
+               COALESCE(p.n_shared_shingles > 0, FALSE) AS contaminated
+        FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        WHERE d.doc_id % 50 <> 0
+        ORDER BY d.doc_id
+    """
+
+
 def _lm_scores_sql() -> str:
     """DuckDB re-training of the add-one trigram LM (operators/lm.py):
     BOS-padded events, trigram/context counts, vocab size, then the
@@ -2476,6 +2515,22 @@ def retired_oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_topk": _lsh_oracle_sql(n_planes=6, n_tables=1),
         "ann_ivf_topk": _ivf_seeded_oracle_sql(n_cells=32, nprobe=6),
+        "dedup_ngram_jaccard": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     list_distinct([array_to_string(toks[i:i+1], ' ')
+                                    FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)]) AS grams
+              FROM (SELECT doc_id, source,
+                           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+                    FROM documents))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.grams, b.grams))::double
+                         / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+            FROM t a JOIN t b USING (source)
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.grams, b.grams))::double
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.35
+        """,
         "window_sum_value_per_user": """
             SELECT event_id, user_id,
                    round(sum(value) OVER (PARTITION BY user_id), 4) AS user_total_value,
@@ -2489,5 +2544,6 @@ RETIRED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_groups": q_dedup_exact_groups,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "window_sum_value_per_user": q_window_sum_value_per_user,
 }

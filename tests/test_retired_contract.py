@@ -12,6 +12,8 @@ Retired so far:
   r7: window_sum_value_per_user (slot freed for bpe_token_counts)
   r7: ann_ivf_topk          (seeded quantizer — the trained-Lloyd contract
       row covers the same probe/re-rank path; slot freed for lm_doc_logprob)
+  r7: dedup_ngram_jaccard   (1-row pair output — weakest evidence of the
+      value-checked dedup family; slot freed for decontam_eval_overlap)
 """
 
 import duckdb

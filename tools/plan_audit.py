@@ -91,6 +91,11 @@ AUDITED = [
     ("lm_doc_logprob",
      ["HashAggregate", "!Window", "!CartesianProduct", "!ArrowEvalPython",
       "!BatchEvalPython"]),
+    # r7: decontamination — hashed-shingle equi-join of train occurrences
+    # against the (small) eval shingle set; per-doc distinct counts
+    ("decontam_eval_overlap",
+     ["xxhash64", "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+      "!Window", "!CartesianProduct", "!ArrowEvalPython", "!BatchEvalPython"]),
 ]
 
 
