@@ -72,18 +72,21 @@ def exploded_metaphone_keys(
     exploded = df.select(
         F.col(id_col), F.explode(fingerprint_col).alias("_fp")
     ).filter(F.length("_fp") > 0)
-    # repartition between the distinct and the UDF: AQE's size-based
-    # coalescing sees a few MB of distinct fingerprints and would fold the
-    # stage to one partition — correct for a shuffle, wrong for a Python-UDF
-    # stage whose cost is per ROW, not per byte. An explicit repartition on
-    # the fingerprint pins the UDF stage at the job-level shuffle width.
-    # (explicit width: a bare .repartition(col) still participates in AQE
-    # coalescing; a numbered one is left alone)
+    # repartition BEFORE the dedup, dedup rides the same exchange: AQE's
+    # size-based coalescing sees a few MB of distinct fingerprints and would
+    # fold the stage to one partition — correct for a shuffle, wrong for a
+    # Python-UDF stage whose cost is per ROW, not per byte. An explicit
+    # numbered repartition on the fingerprint pins the UDF stage at the
+    # job-level shuffle width (a bare .repartition(col) still participates
+    # in AQE coalescing), and because it already hash-distributes on _fp the
+    # following dropDuplicates needs NO second exchange — the previous
+    # distinct-then-repartition order shuffled the same rows on the same
+    # key twice back to back.
     width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     distinct_fp = (
         exploded.select("_fp")
-        .distinct()
         .repartition(width, "_fp")
+        .dropDuplicates(["_fp"])
         .withColumn(key_col, dm_primary("_fp"))
     )
     return (

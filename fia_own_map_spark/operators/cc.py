@@ -99,15 +99,28 @@ def connected_components(
     id_col: str = "id",
     component_col: str = "component",
     max_iterations: int = 50,
+    assume_canonical: bool = False,
+    assume_unique_vertices: bool = False,
 ) -> DataFrame:
     """Return (id, component) with component = min(id) of the component.
 
     edges: (src, dst). vertices (optional): one column `id_col`; vertices
     with no edges come back as singletons (component = own id).
+
+    assume_canonical: the caller guarantees edges are already distinct with
+    src < dst (star_edges and candidate-pair match edges both are, by
+    construction) — skips the round-0 canonicalization, which is a full
+    shuffle + dedup of the edge set it would otherwise pay just to prove
+    what the producer already guarantees.
+
+    assume_unique_vertices: the caller guarantees the vertex table has one
+    row per id (a primary-key projection) — skips the defensive distinct,
+    one exchange of the full vertex set.
     """
     # lazy localCheckpoint: the signature aggregation triggers materialization,
     # so each round costs ONE job (checkpoint + convergence check combined)
-    cur = _canonical(edges).localCheckpoint(eager=False)
+    start = edges.select("src", "dst") if assume_canonical else _canonical(edges)
+    cur = start.localCheckpoint(eager=False)
     sig = _signature(cur)
 
     for _ in range(max_iterations):
@@ -137,18 +150,21 @@ def connected_components(
         raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
 
     # At fixpoint every edge is (node, component-min); roots map to themselves.
+    # No .distinct() on the root projection: the groupBy-min below dedups
+    # anyway, so the extra exchange bought nothing.
     labels = cur.select(F.col("src").alias(id_col), F.col("dst").alias(component_col))
-    roots = cur.select(F.col("dst").alias(id_col)).distinct().withColumn(
+    roots = cur.select(F.col("dst").alias(id_col)).withColumn(
         component_col, F.col(id_col)
     )
     labels = labels.unionByName(roots).groupBy(id_col).agg(
         F.min(component_col).alias(component_col)
     )
     if vertices is not None:
+        vsel = vertices.select(F.col(id_col))
+        if not assume_unique_vertices:
+            vsel = vsel.distinct()
         labels = (
-            vertices.select(F.col(id_col))
-            .distinct()
-            .join(labels, id_col, "left")
+            vsel.join(labels, id_col, "left")
             .withColumn(component_col, F.coalesce(F.col(component_col), F.col(id_col)))
         )
     return labels

@@ -98,9 +98,19 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep one row per distinct normalized content (min id wins)."""
-    groups = exact_dup_groups(df, id_col, text_col)
-    keep = groups.filter(F.col(id_col) == F.col("canonical_id")).select(id_col)
+    """Keep one row per distinct normalized content (min id wins).
+
+    The survivor ids ARE the per-hash min ids, so the groupBy's aggregate
+    output is joined back directly — the exact_dup_groups route re-joined
+    every row to its group min just to filter id == canonical, paying one
+    more exchange of the full (id, hash) table for nothing."""
+    h = F.md5(normalized_text(text_col))
+    keep = (
+        df.select(F.coalesce(h, F.lit("__null_text__")).alias("_hash_k"), F.col(id_col))
+        .groupBy("_hash_k")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
     return df.join(keep, id_col, "left_semi")
 
 
@@ -196,18 +206,30 @@ def minhash_lsh_pairs(
         F.col(id_col),
         word_shingles(text_col, shingle_k).alias("shingles"),
     ).withColumn("sig", minhash_signature(F.col("shingles"), n_hashes, hash_family))
+    # persist the PREPARED table (one slim row per doc, shingles + signature):
+    # it feeds the banded bucket pipeline (3 cheap re-projections) and the
+    # final shingle attach on both pair sides. At production scale this
+    # intermediate is checkpointed to a table instead. swap_cached releases
+    # the previous invocation's copy so repeated calls don't leak.
+    prepared = swap_cached(f"minhash_prepared:{hash_family}", prepared)
+    # materialize the cache NOW, in one single-stage job: the shingle-attach
+    # scans below are independent of the band-size stage, so the scheduler
+    # would otherwise launch up to 3 leaf map stages concurrently over the
+    # still-uncached table, each redoing the whole shingle+signature
+    # projection (cache population does not dedupe concurrent builders).
+    # Measured cost parity at bench scale; at production scale this is the
+    # stand-in for checkpointing the prepared table.
+    prepared.count()
+    # every exchange between here and the verified pairs moves (id, band) /
+    # (id_a, id_b) only — the shingle arrays never ride through the
+    # candidate shuffles (a pair can surface in up to n_bands buckets, so
+    # carrying arrays here multiplied the heaviest shuffle's payload by
+    # ~2 doc-lengths per appearance); they are joined back exactly once per
+    # side from the cached prepared table after the pair dedup.
     banded = prepared.select(
         id_col,
-        "shingles",
         F.explode(lsh_bands("sig", n_bands, rows_per_band, hash_family)).alias("band"),
     )
-    # persist the RAW banded table: it feeds the size aggregation AND (via
-    # the size join) both sides of the self-join — without it the whole
-    # shingle+signature projection is recomputed (and re-codegen'd) per
-    # consumer. At production scale this intermediate is checkpointed to a
-    # table instead. swap_cached releases the previous invocation's copy so
-    # repeated calls don't leak.
-    banded = swap_cached(f"minhash_banded:{hash_family}", banded)
     # bucket-size cap via groupBy + join, not a count window: the window
     # would put a degenerate mega-bucket (the thing the cap exists to
     # catch!) into one spilling task just to count it. The tiny size table
@@ -216,19 +238,23 @@ def minhash_lsh_pairs(
     banded = (
         banded.join(band_sizes, "band")
         .filter(F.col("_bsz") <= max_bucket_size)
-        .select(id_col, "shingles", "band")
+        .select(id_col, "band")
     )
-    left = banded.select(
-        F.col("band"), F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
-    )
-    right = banded.select(
-        F.col("band"), F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
-    )
-    cand = (
+    left = banded.select(F.col("band"), F.col(id_col).alias("id_a"))
+    right = banded.select(F.col("band"), F.col(id_col).alias("id_b"))
+    pairs = (
         left.join(right, "band")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = prepared.select(F.col(id_col), F.col("shingles"))
+    cand = (
+        pairs.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
+        ).join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")), "id_b"
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))

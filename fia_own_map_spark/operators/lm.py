@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -211,8 +212,20 @@ def trigram_lm_py(
         c2[(a, b)] = c2.get((a, b), 0) + n
     v = len(vocab)
 
+    def _half_up(val: float, places: int) -> Decimal:
+        # HALF_UP (away from zero), not python round()'s banker's rounding:
+        # Spark F.round is BigDecimal.valueOf(v).setScale(n, HALF_UP) and
+        # DuckDB round is half-away too; this module claims bit-
+        # reproducibility across engines, so an exact .5 quantization
+        # boundary must tip the same way everywhere. Python's repr() is the
+        # same shortest round-trip decimal as Java's Double.toString, so
+        # Decimal(repr(v)) reproduces BigDecimal.valueOf(v) exactly.
+        return Decimal(repr(val)).quantize(
+            Decimal(1).scaleb(-places), rounding=ROUND_HALF_UP
+        )
+
     def lnq(x: int) -> int:
-        return round(math.log(x) * LOG_SCALE)
+        return int(_half_up(math.log(x) * LOG_SCALE, 0))
 
     out: dict[int, tuple[int, int | None, float | None]] = {}
     for i in texts:
@@ -221,5 +234,5 @@ def trigram_lm_py(
             out[i] = (0, None, None)
             continue
         q = sum(lnq(c3[e] + 1) - lnq(c2[e[:2]] + v) for e in evs)
-        out[i] = (len(evs), q, round(q / (LOG_SCALE * len(evs)), 6))
+        out[i] = (len(evs), q, float(_half_up(q / (LOG_SCALE * len(evs)), 6)))
     return out

@@ -288,7 +288,12 @@ class NumpyLangClassifier:
                 for i in range(len(w) - n + 1)
             ]
             idx, cnt = np.unique(np.asarray(grams, dtype=np.int64), return_counts=True)
-            if len(self._word_cache) >= 1 << 20:  # bound worker memory
+            # bound worker memory: each entry holds two small numpy arrays
+            # (~300-600 B with object overhead), and up to 32 python workers
+            # hold one cache each — 2^17 caps the per-worker worst case at
+            # tens of MB instead of several hundred. Web-text hit rates
+            # saturate well below this (Zipf: the hot vocabulary is small).
+            if len(self._word_cache) >= 1 << 17:
                 self._word_cache.clear()
             got = self._word_cache[word] = (idx, cnt.astype(np.float64))
         return got
