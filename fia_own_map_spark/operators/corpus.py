@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fia_own_map_spark.operators.dedup import (
-    exact_dup_groups,
+    exact_keep_ids,
     normalized_text,
     remove_duplicated_spans,
 )
@@ -51,16 +51,17 @@ def tag_corpus(
     drop_stage — plus quality_features' own diagnostics (n_tokens over
     clean_text, punct/stopword ratios). Downstream selects should use
     n_tokens_clean / lang_pred, not the quality-diagnostic n_tokens."""
-    dups = exact_dup_groups(df, id_col, text_col).select(
-        id_col, (F.col(id_col) != F.col("canonical_id")).alias("_is_dup")
-    )
-    base = df.join(dups, id_col)
+    # survivors = semi-join against the keep-id aggregate, dups = the anti
+    # complement: one groupBy + one join per branch, where the previous
+    # _is_dup route joined the full (id, canonical_id) map back to every row
+    # first (one more full-table exchange per branch for the same split).
+    keep = exact_keep_ids(df, id_col, text_col)
     # STAGE ORDER MATTERS: span removal must see the DEDUPED corpus — on the
     # raw corpus two identical documents make every shingle a corpus-level
     # duplicate and annihilate each other's entire text (the Lee-et-al
     # removal drops ALL occurrences); after exact dedup the surviving copy's
     # spans are only the genuinely-repeated passages.
-    survivors = base.filter(~F.col("_is_dup")).drop("_is_dup")
+    survivors = df.join(keep, id_col, "left_semi")
     cleaned = remove_duplicated_spans(
         survivors, id_col, text_col, out_col="clean_text",
         k=span_k, min_count=span_min_count,
@@ -97,7 +98,7 @@ def tag_corpus(
         .withColumn("drop_stage", drop)
     )
     dup_tagged = (
-        base.filter(F.col("_is_dup")).drop("_is_dup")
+        df.join(keep, id_col, "left_anti")
         .withColumn("clean_text", F.lit(None).cast("string"))
         .withColumn("n_tokens_clean", F.lit(0))
         .withColumn("n_tokens_removed_spans", F.lit(0))

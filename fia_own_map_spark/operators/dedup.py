@@ -39,7 +39,13 @@ _live_cache: dict[str, DataFrame] = {}
 
 
 def swap_cached(key: str, df: DataFrame) -> DataFrame:
-    """Persist df under key, unpersisting whatever held the key before."""
+    """Persist df under key, unpersisting whatever held the key before.
+
+    Lazy on purpose: an eager .count() materialization was A/B-tested this
+    round (suspected concurrent-leaf-stage duplicate cache builds) and
+    measured neutral-to-worse on every consumer — the broadcast side of
+    each consumer's first join already serializes the build in practice,
+    so the extra job is pure overhead."""
     prev = _live_cache.get(key)
     if prev is not None:
         try:
@@ -97,21 +103,26 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep one row per distinct normalized content (min id wins).
-
-    The survivor ids ARE the per-hash min ids, so the groupBy's aggregate
-    output is joined back directly — the exact_dup_groups route re-joined
-    every row to its group min just to filter id == canonical, paying one
-    more exchange of the full (id, hash) table for nothing."""
+def exact_keep_ids(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One-column table of the surviving ids (min id per distinct normalized
+    content). The survivor ids ARE the per-hash min ids, so the groupBy's
+    aggregate output is the answer directly — no join back to every row."""
     h = F.md5(normalized_text(text_col))
-    keep = (
+    return (
         df.select(F.coalesce(h, F.lit("__null_text__")).alias("_hash_k"), F.col(id_col))
         .groupBy("_hash_k")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    return df.join(keep, id_col, "left_semi")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct normalized content (min id wins).
+
+    semi-join against the keep-id aggregate — the exact_dup_groups route
+    re-joined every row to its group min just to filter id == canonical,
+    paying one more exchange of the full (id, hash) table for nothing."""
+    return df.join(exact_keep_ids(df, id_col, text_col), id_col, "left_semi")
 
 
 # ---------------------------------------------------------------------------
@@ -212,14 +223,6 @@ def minhash_lsh_pairs(
     # intermediate is checkpointed to a table instead. swap_cached releases
     # the previous invocation's copy so repeated calls don't leak.
     prepared = swap_cached(f"minhash_prepared:{hash_family}", prepared)
-    # materialize the cache NOW, in one single-stage job: the shingle-attach
-    # scans below are independent of the band-size stage, so the scheduler
-    # would otherwise launch up to 3 leaf map stages concurrently over the
-    # still-uncached table, each redoing the whole shingle+signature
-    # projection (cache population does not dedupe concurrent builders).
-    # Measured cost parity at bench scale; at production scale this is the
-    # stand-in for checkpointing the prepared table.
-    prepared.count()
     # every exchange between here and the verified pairs moves (id, band) /
     # (id_a, id_b) only — the shingle arrays never ride through the
     # candidate shuffles (a pair can surface in up to n_bands buckets, so
