@@ -64,9 +64,7 @@ def token_count_bpe_ish(text_col: Column | str) -> Column:
     """BPE-ish token count: alpha runs, digit runs, and single punctuation
     marks each count as one token (a cheap proxy for subword tokenizers)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    # regexp_count == len(regexp_extract_all(...)) without materializing
-    # the match array (the oracle keeps the len() form; values identical)
-    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -75,7 +73,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     n_chars = F.length(c)
     n_tokens = token_count_ws(text_col)
-    n_punct = F.regexp_count(c, F.lit(r"[^\w\s]"))  # count, no match array
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
     en_stop = F.size(F.filter(_tokens(c), lambda t: t.isin(LANG_PROFILES["en"])))
     mean_tok_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars.cast("double")).otherwise(F.lit(0.0))
@@ -203,7 +201,7 @@ def gopher_repetition_features(df: DataFrame, text_col: str = "text") -> DataFra
     line_chars = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
     toks = F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
     n_words = F.size(toks)
-    n_symbols = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))  # count, no match array
+    n_symbols = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), 0))
     trimmed = F.transform(lines, F.trim)
     n_bullet = F.size(
         F.filter(trimmed, lambda x: F.substring(x, 1, 1).isin("-", "*", "•", "‣", "▪"))
@@ -250,7 +248,7 @@ def pii_scrub(df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
     out = df
     for kind, pat, _tok in PII_PATTERNS:
         out = out.withColumn(
-            f"n_{kind}", F.regexp_count(c, F.lit(pat))  # count, no match array
+            f"n_{kind}", F.size(F.regexp_extract_all(c, F.lit(pat), 0))
         )
     red = c
     for _kind, pat, tok in PII_PATTERNS:
