@@ -72,21 +72,23 @@ def exploded_metaphone_keys(
     exploded = df.select(
         F.col(id_col), F.explode(fingerprint_col).alias("_fp")
     ).filter(F.length("_fp") > 0)
-    # repartition BEFORE the dedup, dedup rides the same exchange: AQE's
-    # size-based coalescing sees a few MB of distinct fingerprints and would
-    # fold the stage to one partition — correct for a shuffle, wrong for a
-    # Python-UDF stage whose cost is per ROW, not per byte. An explicit
-    # numbered repartition on the fingerprint pins the UDF stage at the
-    # job-level shuffle width (a bare .repartition(col) still participates
-    # in AQE coalescing), and because it already hash-distributes on _fp the
-    # following dropDuplicates needs NO second exchange — the previous
-    # distinct-then-repartition order shuffled the same rows on the same
-    # key twice back to back.
+    # dedup first (map-side partial aggregation shrinks the shuffle by the
+    # fingerprint-repetition factor — the point of dedup-before-UDF), then
+    # pin the UDF stage's width with a ROUND-ROBIN repartition. The pin must
+    # be round-robin: a hash repartition on _fp at the job shuffle width is
+    # provably redundant with the distinct's own exchange, so Catalyst
+    # COLLAPSES it (verified in plans/r08/er_blocking_keys_before.txt: the
+    # only exchange is ENSURE_REQUIREMENTS), and ENSURE_REQUIREMENTS
+    # exchanges are exactly what AQE's size-based coalescing folds to one
+    # partition — a few MB of distinct fingerprints would run the per-ROW-
+    # cost metaphone UDF single-threaded. REPARTITION_BY_NUM round-robin
+    # survives both the optimizer and AQE, and it moves only the already-
+    # deduped slim fingerprint table.
     width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     distinct_fp = (
         exploded.select("_fp")
-        .repartition(width, "_fp")
-        .dropDuplicates(["_fp"])
+        .distinct()
+        .repartition(width)
         .withColumn(key_col, dm_primary("_fp"))
     )
     return (
