@@ -141,13 +141,29 @@ def cmd_headline(extra_reps: int = 0) -> None:
 
 
 def cmd_explain(out_dir: str, names: list[str]) -> None:
+    """One SUBPROCESS per query: the CacheManager substitutes cached plan
+    fragments by analyzed-plan equality ACROSS queries in a shared session
+    (er_blocking_keys picks up er_cluster's cached keys subtree), and
+    materialized AQE stages render dual Initial/Final sections — both
+    silently corrupt before/after plan evidence (CLAUDE.md r8 gotcha)."""
+    import subprocess
+
+    names = names or HEADLINE
+    if len(names) > 1:
+        for name in names:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "explain", out_dir, name],
+                check=True,
+                cwd=REPO,
+            )
+        return
     os.makedirs(out_dir, exist_ok=True)
     spark = _session()
     qs = _queries()
     import io
     from contextlib import redirect_stdout
 
-    for name in names or HEADLINE:
+    for name in names:
         df = qs[name](spark, SF_DIR)
         buf = io.StringIO()
         with redirect_stdout(buf):

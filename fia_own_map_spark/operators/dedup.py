@@ -198,7 +198,11 @@ def minhash_lsh_pairs(
     hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, verified with
-    exact shingle-set Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b.
+    exact shingle-set Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b,
+    one row per pair PROVIDED id_col is unique in df (the normal document-
+    table contract; run exact dedup first otherwise — with duplicated ids
+    the shingle-attach joins re-expand pairs, where the old post-attach
+    dropDuplicates picked one arbitrary survivor).
 
     hash_family: ``xxhash64`` (production default, cheap typed hashing) or
     ``md5`` (DuckDB-reproducible, used by the oracle-checked query).
