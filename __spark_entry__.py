@@ -147,7 +147,7 @@ def q_er_cluster_documents(spark, sf):
     edges = star_edges(keys, "url")
     labels = connected_components(
         edges, vertices=docs.select(F.col("url").alias("id")), id_col="id",
-        component_col="cluster_id", assume_canonical=True,  # star_edges output
+        component_col="cluster_id",
         assume_unique_vertices=True,  # docs has one row per url
     )
     out = labels.withColumnRenamed("id", "url")
@@ -182,7 +182,7 @@ def q_er_cluster_fingerprint(spark, sf):
     edges = star_edges(keys, "url")
     labels = connected_components(
         edges, vertices=docs.select(F.col("url").alias("id")), id_col="id",
-        component_col="cluster_id", assume_canonical=True,  # star_edges output
+        component_col="cluster_id",
         assume_unique_vertices=True,  # docs has one row per url
     )
     out = labels.withColumnRenamed("id", "url")

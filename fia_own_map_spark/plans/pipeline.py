@@ -201,9 +201,6 @@ def run_pipeline(
             edges, vertices=nodes.select(F.col("node_id").alias("id")),
             id_col="id", component_col="node_cluster",
             max_iterations=cfg.cc_max_iterations,
-            # star_edges (exact mode) and match_edges-over-candidate_pairs
-            # (similarity mode) both emit distinct src < dst edges
-            assume_canonical=True,
             assume_unique_vertices=True,  # nodes carry one row per node_id
         )
         with_nodes = named.join(

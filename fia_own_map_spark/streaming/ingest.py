@@ -206,7 +206,6 @@ class IncrementalER:
             vertices=slice_keys.select(F.col("url").alias("id")).distinct(),
             id_col="id",
             component_col="cluster_id",
-            assume_canonical=True,  # star_edges output
             assume_unique_vertices=True,  # the vertex arg is distinct'd above
         ).withColumnRenamed("id", "url")
 

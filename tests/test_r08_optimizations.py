@@ -4,10 +4,10 @@ Every change this round must be output-identical to the pre-round code;
 these tests pin the equivalences directly (the oracle contract pins them
 end-to-end, but only at the call sites the contract exercises):
 
-  * connected_components fast paths (assume_canonical /
-    assume_unique_vertices) == the defensive default path, on both edge
-    producers that claim the preconditions (star_edges, candidate-pair
-    match edges);
+  * connected_components' assume_unique_vertices fast path == the
+    defensive default path, on both edge producers the engine uses
+    (star_edges, candidate-pair match edges) — round 0 is a small-star
+    for every input, so no canonicalization flag exists anymore;
   * exact_dedup's keep-id-aggregate route == the exact_dup_groups route;
   * minhash_lsh_pairs' slim-pair plan == the documented unique-output
     contract on unique-id input.
@@ -46,8 +46,7 @@ def test_cc_fast_paths_match_default_on_star_edges(spark):
     vertices = _docs(spark).select(F.col("url").alias("id"))
     base = connected_components(edges, vertices=vertices)
     fast = connected_components(
-        edges, vertices=vertices,
-        assume_canonical=True, assume_unique_vertices=True,
+        edges, vertices=vertices, assume_unique_vertices=True,
     )
     assert _collect_labels(fast) == _collect_labels(base)
     # keyless d8 stays a singleton labelled by itself
@@ -60,8 +59,7 @@ def test_cc_fast_paths_match_default_on_candidate_pair_edges(spark):
     vertices = _docs(spark).select(F.col("url").alias("id"))
     base = connected_components(edges, vertices=vertices)
     fast = connected_components(
-        edges, vertices=vertices,
-        assume_canonical=True, assume_unique_vertices=True,
+        edges, vertices=vertices, assume_unique_vertices=True,
     )
     assert _collect_labels(fast) == _collect_labels(base)
 
@@ -76,8 +74,7 @@ def test_cc_assume_unique_vertices_contract_documents_misuse(spark):
     )
     base = connected_components(edges, vertices=dup_vertices)  # distincts
     fast = connected_components(
-        edges, vertices=dup_vertices,
-        assume_canonical=True, assume_unique_vertices=True,
+        edges, vertices=dup_vertices, assume_unique_vertices=True,
     )
     assert len(_collect_labels(base)) == 8
     assert len(_collect_labels(fast)) == 10  # promise violated -> dup rows
